@@ -1,0 +1,126 @@
+"""Pipeline runtime: stream records, batch, correct, ordered write-back.
+
+Reference: ``run_correction`` (src/lib.rs:72-139) — read ``record_buffer``
+records, fan the batch out (rayon there; a TPU batch or the native CPU
+backend here), then write corrected records back in input order.
+
+Backends:
+
+* ``oracle`` — the scalar Python reference implementation (exact, slow).
+* ``jax``    — the batched TPU engine (br_tpu.correct.engine), reads
+  bucketed by length, device-resident bitfield, edit-list splicing.
+* ``native`` — the C++ CPU engine (br_tpu/native), the CPU baseline.
+
+All backends produce identical bytes (enforced by tests/test_pipeline.py).
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+from typing import Iterable, Optional, Sequence
+
+from br_tpu import DEFAULT_RECORD_BUFFER
+from br_tpu.correct import build_methods, correct_read
+from br_tpu.io.fasta import read_records, write_fasta_record, write_fastq_record
+
+log = logging.getLogger("br_tpu")
+
+
+def _batches(records: Iterable, size: int):
+    buf = []
+    for rec in records:
+        buf.append(rec)
+        if len(buf) >= size:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
+def run_correction(
+    inputs: Sequence,
+    outputs: Sequence,
+    valid_kmer,
+    corrections: Sequence[str],
+    confirm: int,
+    max_search: int,
+    two_side: bool,
+    record_buffer: int = DEFAULT_RECORD_BUFFER,
+    backend: str = "auto",
+    line_width: int = 80,
+) -> int:
+    """Correct every record of every (input, output) pair; returns #records.
+
+    ``inputs`` / ``outputs`` are paths or streams, zipped pairwise like the
+    reference (src/lib.rs:79).
+    """
+    corrector = make_corrector(
+        valid_kmer, corrections, confirm, max_search, backend=backend
+    )
+
+    n = 0
+    for source, sink in zip(inputs, outputs):
+        own_sink = isinstance(sink, str)
+        out = open(sink, "wb") if own_sink else sink
+        try:
+            for batch in _batches(read_records(source), record_buffer):
+                log.info("correcting batch of %d records", len(batch))
+                seqs = [seq for (_d, seq, _q) in batch]
+                corrected = corrector.correct_batch(seqs, two_side)
+                for (definition, _seq, qual), fixed in zip(batch, corrected):
+                    if qual is None:
+                        write_fasta_record(out, definition, fixed, width=line_width)
+                    else:
+                        # The reference's fastq feature preserves the input
+                        # quality string; lengths can drift after indel fixes,
+                        # mirror by trimming/padding with '!' to the new length.
+                        q = qual[: len(fixed)].ljust(len(fixed), b"!")
+                        write_fastq_record(out, definition, fixed, q)
+                    n += 1
+        finally:
+            if own_sink:
+                out.close()
+            elif hasattr(out, "flush"):
+                out.flush()
+    return n
+
+
+def make_corrector(valid_kmer, corrections, confirm, max_search, backend="auto"):
+    """Pick a batch corrector backend."""
+    if backend == "auto":
+        try:
+            from br_tpu.correct.engine import TpuCorrector  # noqa: F401
+
+            backend = "jax"
+        except Exception:  # pragma: no cover - jax always present in CI
+            backend = "oracle"
+    if backend == "jax":
+        from br_tpu.correct.engine import TpuCorrector
+
+        return TpuCorrector(valid_kmer, corrections, confirm, max_search)
+    if backend == "native":
+        from br_tpu.native import NativeCorrector
+
+        return NativeCorrector(valid_kmer, corrections, confirm, max_search)
+    if backend == "oracle":
+        return OracleCorrector(valid_kmer, corrections, confirm, max_search)
+    raise ValueError(f"unknown backend {backend!r}")
+
+
+class OracleCorrector:
+    """Scalar reference backend (one read at a time)."""
+
+    def __init__(self, valid_kmer, corrections, confirm, max_search):
+        self.methods = build_methods(corrections, valid_kmer, confirm, max_search)
+
+    def correct_batch(self, seqs: Sequence[bytes], two_side: bool):
+        return [correct_read(seq, self.methods, two_side) for seq in seqs]
+
+
+def stdio_streams(input_paths: Optional[Sequence[str]],
+                  output_paths: Optional[Sequence[str]]):
+    """Default to stdin/stdout when -i/-o are omitted (src/cli.rs:80-113)."""
+    ins = list(input_paths) if input_paths else [sys.stdin.buffer]
+    outs = list(output_paths) if output_paths else [sys.stdout.buffer]
+    return ins, outs
