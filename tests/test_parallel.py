@@ -1,0 +1,129 @@
+"""Multi-device sharding tests.
+
+The axon plugin's sitecustomize pins the jax platform at interpreter
+start, so virtual-CPU-mesh tests run in clean-env subprocesses (the same
+strategy __graft_entry__.dryrun_multichip uses); in-process variants run
+when the current process already sees enough devices.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def _need_devices(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} virtual devices in-process; "
+                    "covered by the subprocess variants")
+
+
+def _run_clean_subprocess(code: str, n_devices: int):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + f" --xla_force_host_platform_device_count={n_devices}"
+                        ).strip()
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_count_sharded_subprocess():
+    """Sharded counting + psum merge == host counter, on a 4-device mesh."""
+    _run_clean_subprocess("""
+import numpy as np, jax
+assert len(jax.devices()) == 4, jax.devices()
+from br_tpu.count import Counter
+from br_tpu.parallel import count_sharded, data_parallel_mesh
+from br_tpu.parallel.mesh import counts_to_u8
+rng = np.random.default_rng(0)
+bases = np.frombuffer(b"ACTG", np.uint8)
+k, B, L = 7, 8, 200
+batch = rng.choice(bases, (B, L)).astype(np.uint8)
+lens = np.full(B, L, np.int32); lens[-1] = 50
+mesh = data_parallel_mesh(jax.devices())
+counts = counts_to_u8(count_sharded(mesh, batch, lens, k))
+host = Counter(k)
+for b in range(B):
+    host.count_sequence(batch[b, :lens[b]].tobytes())
+assert np.array_equal(counts, host.raw())
+print("count_sharded ok")
+""", 4)
+
+
+def test_count_sharded_matches_host():
+    _need_devices(4)
+    from br_tpu.count import Counter
+    from br_tpu.parallel import count_sharded, data_parallel_mesh
+    from br_tpu.parallel.mesh import counts_to_u8
+
+    rng = np.random.default_rng(0)
+    bases = np.frombuffer(b"ACTG", np.uint8)
+    k = 7
+    B, L = 8, 200
+    batch = rng.choice(bases, (B, L)).astype(np.uint8)
+    lens = np.full(B, L, np.int32)
+    lens[-1] = 50  # ragged lane
+
+    mesh = data_parallel_mesh(jax.devices()[:4])
+    counts = counts_to_u8(count_sharded(mesh, batch, lens, k))
+
+    host = Counter(k)
+    for b in range(B):
+        host.count_sequence(batch[b, : lens[b]].tobytes())
+    assert np.array_equal(counts, host.raw())
+
+
+def test_data_parallel_correction_matches_single_device():
+    _need_devices(8)
+    from br_tpu.correct.engine import TpuCorrector
+    from br_tpu.parallel import data_parallel_mesh
+    from br_tpu.set.solid import SolidSet
+
+    rng = np.random.default_rng(1)
+    bases = np.frombuffer(b"ACTG", np.uint8)
+    genome = rng.choice(bases, 1200).astype(np.uint8).tobytes()
+    s = SolidSet.from_sequences([genome], 9)
+    reads = []
+    for _ in range(16):
+        st = int(rng.integers(0, len(genome) - 100))
+        read = bytearray(genome[st : st + 100])
+        read[50] = int(rng.choice(bases))
+        reads.append(bytes(read))
+
+    chain = ["one", "two", "graph", "greedy", "gap-size"]
+    single = TpuCorrector(s, chain, 5, 7)
+    want = single.correct_batch(reads, two_side=False)
+
+    sharded = TpuCorrector(s, chain, 5, 7)
+    sharded.mesh = data_parallel_mesh(jax.devices())
+    got = sharded.correct_batch(reads, two_side=False)
+    assert got == want
+
+
+def test_graft_entry_compiles():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = fn(*args)
+    assert out[0].shape[0] == args[1].shape[0]
+
+
+@pytest.mark.slow
+def test_graft_dryrun_multichip():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
