@@ -421,11 +421,18 @@ def make_gap_attempt(probe, codes, length, k: int, c: int):
     return attempt
 
 
-def make_greedy_attempt(probe, codes, length, k: int, ms: int, nb: int):
+def make_greedy_attempt(probe, codes, length, k: int, ms: int, nb: int,
+                        ascii_arr=None):
     """Greedy strategy (greedy.rs:129-173): speculative unique-path walk up
     to ``ms`` steps, accepted via a rust-bio-compatible global alignment
     (see br_tpu.correct.alignment for the tie-break contract) plus
     ``nb``-k-mer confirmation.
+
+    The alignment compares RAW BYTES like rust-bio (greedy.rs:63-65): the
+    read window contributes its original ascii bytes (``ascii_arr``), the
+    k-1 prefix and the candidate path contribute decoded uppercase ACTG.
+    For pure-uppercase-ACGT input the 2-bit codes are equivalent, so when
+    ``ascii_arr`` is None the code domain is used (legacy behavior).
 
     TPU shape: the walk is unrolled (ms is small and static); ONE Gotoh DP
     is filled by anti-diagonal wavefront over the maximal window (every
@@ -475,10 +482,18 @@ def make_greedy_attempt(probe, codes, length, k: int, ms: int, nb: int):
             wks.append(wk_next)
             path.append(sa.astype(jnp.uint8))
 
-        # -- r/c code arrays for the maximal alignment window --------------
-        r_full = jnp.stack(before + [
-            _code_at(codes, i + t) for t in range(ms - 1)])
-        c_full = jnp.stack(before + path)
+        # -- r/c arrays for the maximal alignment window -------------------
+        if ascii_arr is None:
+            r_full = jnp.stack(before + [
+                _code_at(codes, i + t) for t in range(ms - 1)])
+            c_full = jnp.stack(before + path)
+        else:
+            # byte domain (exact vs rust-bio for arbitrary input bytes)
+            before_b = [dc.decode_codes(b) for b in before]
+            r_full = jnp.stack(before_b + [
+                _code_at(ascii_arr, i + t) for t in range(ms - 1)])
+            c_full = jnp.stack(before_b + [dc.decode_codes(p)
+                                           for p in path])
 
         # -- Gotoh DP by wavefront; traceback layers stored per diagonal ---
         rows = jnp.arange(W, dtype=I32)
@@ -698,7 +713,8 @@ def make_pass_fn(k: int, strategy: str, c: int, ms: int, nb: int,
         elif strategy == "gap-size":
             attempt = make_gap_attempt(probe, codes, length, k, c)
         elif strategy == "greedy":
-            attempt = make_greedy_attempt(probe, codes, length, k, ms, nb)
+            attempt = make_greedy_attempt(probe, codes, length, k, ms, nb,
+                                          ascii_arr=ascii_in)
         else:
             raise ValueError(strategy)
 
