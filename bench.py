@@ -50,10 +50,10 @@ def main():
     solid = build_solid(reads)
     t_count = time.perf_counter() - t0
 
-    from br_tpu.correct.engine import TpuCorrector
+    from br_tpu.correct.engine2 import Tpu2Corrector
     from br_tpu.native import NativeCorrector
 
-    tc = TpuCorrector(solid, CHAIN, confirm=5, max_search=7)
+    tc = Tpu2Corrector(solid, CHAIN, confirm=5, max_search=7)
     nc = NativeCorrector(solid, CHAIN, confirm=5, max_search=7)
 
     # CPU baseline (single timed run; the pool uses all cores).

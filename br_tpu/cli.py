@@ -74,7 +74,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-v", "--verbosity", action="count", default=0)
     p.add_argument("-T", "--timestamp", choices=("sec", "ms", "ns", "none"),
                    default="none")
-    p.add_argument("--backend", choices=("auto", "jax", "native", "oracle"),
+    p.add_argument("--backend",
+                   choices=("auto", "jax", "jax-v1", "native", "oracle"),
                    default="auto", help="correction backend")
     p.add_argument("--line-width", type=int, default=80,
                    help="FASTA output wrap width (0 = single line)")

@@ -60,9 +60,10 @@ from br_tpu.correct.engine import (
 
 I32 = jnp.int32
 
-#: de Bruijn walk cap: emitted path must fit 2 u64 words (31 bases each).
-WALK_MAX = 62
-W = 2
+#: de Bruijn walk cap: emitted path must fit W u64 words (31 bases each);
+#: matches v1's MAX_WALK (engine.py) so fallback rates stay low.
+WALK_MAX = 248
+W = 8
 #: loop-guard ring size (see engine.py RING discussion).
 RING = 32
 #: resync-boundary depth inside a valid run.  Any repair activity that
@@ -70,15 +71,19 @@ RING = 32
 #: tunes how often that happens, not correctness.
 OFF_MARGIN = 16
 #: chain records per site (applied repairs in one dirty chain).
-SLOTS = 4
+SLOTS = 8
 #: dirty-round capacity schedule (fractions of the site capacity).
 ROUND_FRACS = (4, 16)
 TAIL_FRAC = 16
-TAIL_ROUNDS = 6
-#: per-segment chain-walk iteration cap.
-WALK_ITERS = 256
+TAIL_ROUNDS = 16
+#: pointer-doubling rounds for chain reachability (2^13 = longest
+#: supported visited-chain per segment; segments are < 2^13 sites).
+REACH_ROUNDS = 13
 #: dirty error_len walk cap (graph/gap-size with a perturbed register).
-ERR_CAP = 96
+#: dirty rounds are rare; tight caps keep their nested loops cheap and
+#: spill to the host fallback instead.
+ERR_CAP = 64
+WALK_MAX_DIRTY = 64
 
 BIG = np.int32(1 << 30)
 
@@ -134,9 +139,13 @@ def _pack_words(codes_list):
 
 
 def _unique_walk(probe, k: int, corr, alt_code, first_correct,
-                 use_first_correct: bool, max_steps, enabled):
+                 use_fc, max_steps, enabled, walk_cap: int = WALK_MAX):
     """Unique-successor de Bruijn walk (graph.rs:44-85, gap_size.rs:44-89)
-    capped at WALK_MAX steps (cap -> host fallback)."""
+    capped at WALK_MAX steps (cap -> host fallback).
+
+    ``use_fc`` is a per-lane boolean: True = graph mode (walk while valid,
+    accept on reaching ``first_correct``); False = fill mode (walk exactly
+    ``max_steps`` unique successors)."""
     RUN, ACCEPT, DECLINE, CAP = 0, 1, 2, 3
 
     buf0 = jnp.zeros(W, dtype=U64).at[0].set(alt_code.astype(U64))
@@ -146,7 +155,7 @@ def _unique_walk(probe, k: int, corr, alt_code, first_correct,
 
     def cond(st):
         _wk, n, _buf, _ring, _rpos, status = st
-        more = True if use_first_correct else (n - 1) < max_steps
+        more = use_fc | ((n - 1) < max_steps)
         return (status == RUN) & more
 
     def body(st):
@@ -158,8 +167,8 @@ def _unique_walk(probe, k: int, corr, alt_code, first_correct,
         wk2 = add_nuc(wk, sa.astype(jnp.uint8), k)
         branch_fail = ns != 1
         revisit = jnp.any(ring == wk2)
-        accept = use_first_correct & (wk2 == first_correct)
-        capped = n >= WALK_MAX
+        accept = use_fc & (wk2 == first_correct)
+        capped = n >= walk_cap
 
         wi = n // 31
         sh = ((n % 31) * 2).astype(U64)
@@ -173,18 +182,19 @@ def _unique_walk(probe, k: int, corr, alt_code, first_correct,
         return (wk2, n + 1, buf, ring, rpos + 1, jnp.int32(status))
 
     wk, n, buf, _r, _p, status = jax.lax.while_loop(cond, body, init)
-    ok = (status == ACCEPT) if use_first_correct else (status == RUN)
+    ok = jnp.where(use_fc, status == ACCEPT, status == RUN)
     return ok, status == CAP, buf, n, wk
 
 
-def make_graph_attempt2(probe, codes, k: int, err_fn):
+def make_graph_attempt2(probe, codes, k: int, err_fn,
+                        walk_cap: int = WALK_MAX):
     def attempt(i, kmer, length):
         err_len, fc, ecap = err_fn(i, kmer, length)
         nalts, corr = _alt_info(probe, kmer)
         alt_code = corr & _u(3)
         ok_w, cap, buf, n, wk = _unique_walk(
-            probe, k, corr, alt_code, fc, True, jnp.int32(WALK_MAX),
-            nalts == 1)
+            probe, k, corr, alt_code, fc, jnp.bool_(True),
+            jnp.int32(walk_cap), nalts == 1, walk_cap)
         ok = (nalts == 1) & ok_w
         return AttemptOut(ok, wk, err_len + 1, buf, n,
                           ((nalts == 1) & cap) | ecap)
@@ -192,7 +202,8 @@ def make_graph_attempt2(probe, codes, k: int, err_fn):
     return attempt
 
 
-def make_gap_attempt2(probe, codes, k: int, c: int, err_fn):
+def make_gap_attempt2(probe, codes, k: int, c: int, err_fn,
+                      walk_cap: int = WALK_MAX):
     def attempt(i, kmer, length):
         err_len, fc, ecap = err_fn(i, kmer, length)
         nalts, corr = _alt_info(probe, kmer)
@@ -202,34 +213,28 @@ def make_gap_attempt2(probe, codes, k: int, c: int, err_fn):
         gap = jnp.maximum(err_len - k, 0)
         is_one = err_len == k
         is_fill = err_len > k
-        ok_w, cap, buf, n, wk = _unique_walk(
-            probe, k, corr, alt_code, fc, True, jnp.int32(WALK_MAX),
-            is_graph & (nalts == 1))
-        ok_f, cap_f, buf_f, n_f, wk_f = _unique_walk(
-            probe, k, corr, alt_code, fc, False, gap,
-            is_fill & (nalts == 1))
+        # one walk serves both graph mode and fill mode (per-lane select)
+        ok_w, cap_w, buf, n, wk = _unique_walk(
+            probe, k, corr, alt_code, fc, is_graph, gap,
+            (is_graph | is_fill) & (nalts == 1), walk_cap)
         one_att = make_one_attempt(probe, codes, length, k, c)
         o = one_att(i, kmer)
 
-        ok = jnp.where(is_graph, (nalts == 1) & ok_w,
-                       jnp.where(is_one, o.ok, (nalts == 1) & ok_f))
-        cap_hit = jnp.where(is_graph, (nalts == 1) & cap,
-                            jnp.where(is_fill, (nalts == 1) & cap_f, False))
-        new_kmer = jnp.where(is_graph, wk,
-                             jnp.where(is_one, o.new_kmer, wk_f))
+        ok = jnp.where(is_one, o.ok, (nalts == 1) & ok_w)
+        cap_hit = ~is_one & (nalts == 1) & cap_w
+        new_kmer = jnp.where(is_one, o.new_kmer, wk)
         consumed = jnp.where(is_graph, err_len + 1,
-                             jnp.where(is_one, o.consumed, n_f))
-        cnt = jnp.where(is_graph, n, jnp.where(is_one, o.cnt, n_f))
-        emit = jnp.where(is_graph, buf,
-                         jnp.where(is_one,
-                                   jnp.zeros_like(buf).at[0].set(o.emit[0]),
-                                   buf_f))
-        return AttemptOut(ok, new_kmer, consumed, emit, cnt, cap_hit | ecap)
+                             jnp.where(is_one, o.consumed, n))
+        cnt = jnp.where(is_one, o.cnt, n)
+        emit = jnp.where(is_one,
+                         jnp.zeros_like(buf).at[0].set(o.emit[0]), buf)
+        return AttemptOut(ok, new_kmer, consumed, emit, cnt,
+                          cap_hit | ecap)
 
     return attempt
 
 
-def _dirty_err_fn(probe, codes, k: int):
+def _dirty_err_fn(probe, codes, k: int, err_cap: int = ERR_CAP):
     """error_len by explicit walk (mod.rs:130-152) for dirty registers,
     capped at ERR_CAP steps."""
 
@@ -246,7 +251,7 @@ def _dirty_err_fn(probe, codes, k: int):
             km2 = jnp.where(at_end, km,
                             add_nuc(km, _code_at(codes, i + j2), k))
             f = ~at_end & probe(km2)
-            capped = j2 >= ERR_CAP
+            capped = j2 >= err_cap
             return (j2, km2, at_end | f | capped, f, cap | capped)
 
         j, km, _d, _f, cap = jax.lax.while_loop(
@@ -269,10 +274,14 @@ def make_pass2_fn(k: int, strategy: str, c: int, ms: int, nb: int,
 
     BL = B * L
     OFFSET = k + OFF_MARGIN
-    NS = max(512, BL // 32)          # site capacity
+    # sized ~1.5x over the worst observed corpus chunk (sites <= 0.55% of
+    # positions after gating on real long-read data); overflow -> cap ->
+    # exact host fallback, so tight capacities trade rare fallbacks for
+    # throughput on every pass.
+    NS = max(512, BL // 64)          # site capacity
     NSB = max(256, NS // 2)          # gate-surviving sites (full attempt)
-    N1 = max(256, NS // ROUND_FRACS[0])
-    NTAIL = max(128, NS // TAIL_FRAC)
+    N1 = max(256, NS // 2)
+    NTAIL = max(128, NS // 4)
     NR = NS + NS // 2                # record capacity
     NSEG = B + max(256, BL // 96)    # walk-lane capacity
     DONE_PURE, DONE_END, PENDING, DEAD = 0, 1, 2, 3
@@ -348,7 +357,7 @@ def make_pass2_fn(k: int, strategy: str, c: int, ms: int, nb: int,
 
         dirty_err = _dirty_err_fn(probe, codes, k)
 
-        def build_attempt(err_fn):
+        def build_attempt(err_fn, walk_cap=WALK_MAX):
             if strategy == "one":
                 def att(i, kmer, length):
                     return make_one_attempt(probe, codes, length, k, c)(
@@ -365,12 +374,14 @@ def make_pass2_fn(k: int, strategy: str, c: int, ms: int, nb: int,
                         probe, codes, length, k, ms, nb,
                         ascii_arr=ascii_flat)(i, kmer)
             elif strategy == "graph":
-                g = make_graph_attempt2(probe, codes, k, err_fn)
+                g = make_graph_attempt2(probe, codes, k, err_fn,
+                                        walk_cap)
 
                 def att(i, kmer, length):
                     return g(i, kmer, length)
             elif strategy == "gap-size":
-                g = make_gap_attempt2(probe, codes, k, c, err_fn)
+                g = make_gap_attempt2(probe, codes, k, c, err_fn,
+                                      walk_cap)
 
                 def att(i, kmer, length):
                     return g(i, kmer, length)
@@ -379,7 +390,7 @@ def make_pass2_fn(k: int, strategy: str, c: int, ms: int, nb: int,
             return jax.vmap(att)
 
         attempt_pure = build_attempt(pure_err_fn)
-        attempt_dirty = build_attempt(dirty_err)
+        attempt_dirty = build_attempt(dirty_err, WALK_MAX_DIRTY)
 
         # ---------------- 4. dirty-window simulation -------------------
         def dirty_sim(i0, reg0, prev0, t0, lenf, sef):
@@ -414,7 +425,9 @@ def make_pass2_fn(k: int, strategy: str, c: int, ms: int, nb: int,
 
         # per-site resolution state
         succ_pos = jnp.full(NS, BIG, dtype=I32)
-        s_cap = jnp.zeros(NS, dtype=bool)
+        # cap reason per site: 0 none, 1 capacity overflow,
+        # 2 attempt cap, 3 boundary crossing, 4 rounds exhausted
+        s_cap = jnp.zeros(NS, dtype=I32)
         # records
         r_pos = jnp.full((NS, SLOTS), BIG, dtype=I32)
         r_cnt = jnp.zeros((NS, SLOTS), dtype=I32)
@@ -438,7 +451,7 @@ def make_pass2_fn(k: int, strategy: str, c: int, ms: int, nb: int,
                 _compact(gate, (ids, i_arr, reg_arr, t_arr, slot_arr,
                                 lenf, sef), NSB if n_lanes == NS else n_lanes)
             s_cap = s_cap.at[jnp.clip(ids, 0, NS - 1)].max(
-                g_over & (ids < NS))
+                jnp.where(g_over & (ids < NS), 1, 0))
 
             att_fn = attempt_pure if pure_round else attempt_dirty
             res = att_fn(g_i, g_reg, g_lenf)
@@ -508,7 +521,11 @@ def make_pass2_fn(k: int, strategy: str, c: int, ms: int, nb: int,
             sp = jnp.where(done_pure & (i_n < BL), sp, BIG)
             succ_pos = succ_pos.at[idc].min(
                 jnp.where(done_pure, sp, BIG))
-            s_cap = s_cap.at[idc].max(capped)
+            cap_code = jnp.maximum(
+                jnp.where(att_cap, 2, 0),
+                jnp.maximum(jnp.where(slot_over, 1, 0),
+                            jnp.where(capx & g_ok, 3, 0)))
+            s_cap = s_cap.at[idc].max(jnp.where(g_ok, cap_code, 0))
 
             # gate-failed (nalts != 1) sites are failures too
             gf = act & (nalts != 1)
@@ -531,7 +548,7 @@ def make_pass2_fn(k: int, strategy: str, c: int, ms: int, nb: int,
                 succ_pos = succ_pos.at[jnp.clip(ids, 0, NS - 1)].min(
                     jnp.where(gf_dp, gsp, BIG))
                 s_cap = s_cap.at[jnp.clip(ids, 0, NS - 1)].max(
-                    gf & capx_g)
+                    jnp.where(gf & capx_g, 3, 0))
                 gf_pend = gf & (st_g == PENDING) & ~capx_g
                 gf_i = i_g
                 gf_reg = rg_g
@@ -563,7 +580,7 @@ def make_pass2_fn(k: int, strategy: str, c: int, ms: int, nb: int,
         (cf, ok_m, over) = _compact(
             pm, (pids, pi, preg, pt, pslot, plenf, psef), N1)
         s_cap = s_cap.at[jnp.clip(pids, 0, NS - 1)].max(
-            over & (pids < NS))
+            jnp.where(over & (pids < NS), 1, 0))
         (pids, pi, preg, pt, pslot, plenf, psef) = cf
         (succ_pos, s_cap, r_pos, r_cnt, r_skip, r_emit,
          pm, pids, pi, preg, pt, pslot, plenf, psef) = process_round(
@@ -573,7 +590,8 @@ def make_pass2_fn(k: int, strategy: str, c: int, ms: int, nb: int,
         # ---- tail rounds: fixed NTAIL shape inside one while_loop -----
         (cf, ok_m, over) = _compact(
             pm, (pids, pi, preg, pt, pslot, plenf, psef), NTAIL)
-        s_cap = s_cap.at[jnp.clip(pids, 0, NS - 1)].max(over & (pids < NS))
+        s_cap = s_cap.at[jnp.clip(pids, 0, NS - 1)].max(
+            jnp.where(over & (pids < NS), 1, 0))
         (pids, pi, preg, pt, pslot, plenf, psef) = cf
         pm = ok_m
 
@@ -590,7 +608,7 @@ def make_pass2_fn(k: int, strategy: str, c: int, ms: int, nb: int,
             (cf, ok_m, over) = _compact(
                 pm, (pids, pi, preg, pt, pslot, plenf, psef), NTAIL)
             s_cap = s_cap.at[jnp.clip(pids, 0, NS - 1)].max(
-                over & (pids < NS))
+                jnp.where(over & (pids < NS), 1, 0))
             (pids, pi, preg, pt, pslot, plenf, psef) = cf
             return (rnd + 1, succ_pos, s_cap, r_pos, r_cnt, r_skip,
                     r_emit, (ok_m, pids, pi, preg, pt, pslot, plenf,
@@ -602,9 +620,11 @@ def make_pass2_fn(k: int, strategy: str, c: int, ms: int, nb: int,
         (_rnd, succ_pos, s_cap, r_pos, r_cnt, r_skip, r_emit,
          (pm, pids, pi, preg, pt, pslot, plenf, psef)) = st
         # unresolved after all rounds -> cap
-        s_cap = s_cap.at[jnp.clip(pids, 0, NS - 1)].max(pm & (pids < NS))
+        s_cap = s_cap.at[jnp.clip(pids, 0, NS - 1)].max(
+            jnp.where(pm & (pids < NS), 4, 0))
 
-        cap_lane = flag_lane(cap_lane, s_lane, s_cap & smask)
+        site_capped = (s_cap > 0) & smask
+        cap_lane = flag_lane(cap_lane, s_lane, site_capped)
 
         # ---------------- 5. segment chain walk ------------------------
         # successor site index (within the same segment)
@@ -639,23 +659,17 @@ def make_pass2_fn(k: int, strategy: str, c: int, ms: int, nb: int,
         cur0 = _lower_bound(s_pos, starts)
         cur0c = jnp.clip(cur0, 0, NS - 1)
         cur_ok = lane_alive & (cur0 < NS) & (s_pos[cur0c] < wend)
-        cur = jnp.where(cur_ok, cur0c, NS).astype(I32)
 
-        def wcond(st):
-            it, cur, _vis = st
-            return (it < WALK_ITERS) & jnp.any(cur < NS)
-
-        def wbody(st):
-            it, cur, vis = st
-            active = cur < NS
-            vis = vis.at[jnp.clip(cur, 0, NS)].max(active)
-            nxt = succ_idx[jnp.clip(cur, 0, NS - 1)]
-            cur = jnp.where(active, nxt, NS).astype(I32)
-            return it + 1, cur, vis
-
-        _it, cur_fin, visited = jax.lax.while_loop(
-            wcond, wbody, (jnp.int32(0), cur, jnp.zeros(NS + 1, bool)))
-        cap_lane = flag_lane(cap_lane, start_lane, cur_fin < NS)
+        # pointer-doubling reachability: after round j, visited covers all
+        # chain nodes within 2^(j+1) hops of a segment head.  succ_idx is
+        # strictly increasing within a segment, so chains are acyclic and
+        # <= segment-site-count (< 2^REACH_ROUNDS) long.
+        visited = jnp.zeros(NS + 1, bool).at[
+            jnp.where(cur_ok, cur0c, NS)].max(cur_ok)
+        nxt = jnp.append(succ_idx, jnp.int32(NS))  # sentinel self-loop
+        for _ in range(REACH_ROUNDS):
+            visited = visited.at[nxt].max(visited)
+            nxt = nxt[nxt]
 
         # ---------------- 6. splice ------------------------------------
         vis_site = visited[:NS]
@@ -733,7 +747,20 @@ def make_pass2_fn(k: int, strategy: str, c: int, ms: int, nb: int,
                           ascii_flat[jnp.clip(src, 0, BL - 1)])
         out = jnp.where(o < out_len[:, None], out_b, jnp.uint8(0))
 
-        return out, out_len, cap_lane
+        def _cnt(m):
+            return jnp.sum(m.astype(I32))
+
+        aux = jnp.stack([
+            jnp.minimum(n_sites, NS),
+            _cnt(site_capped & (s_cap == 1)),   # capacity overflow
+            _cnt(site_capped & (s_cap == 2)),   # attempt cap (walk/err)
+            _cnt(site_capped & (s_cap == 3)),   # boundary crossing
+            _cnt(site_capped & (s_cap == 4)),   # rounds exhausted
+            _cnt(visited[:NS] & smask),         # visited sites
+            _cnt(rok),                          # applied records
+            _cnt(cap_lane),                     # capped lanes
+        ])
+        return out, out_len, cap_lane, aux
 
     return jax.jit(passfn)
 
@@ -747,7 +774,41 @@ class Tpu2Corrector(TpuCorrector):
     """Site-parallel batched device corrector (engine v2).
 
     Same public contract as TpuCorrector (bit-exact, cap->oracle
-    fallback); passes are compiled per (strategy, L, B)."""
+    fallback); passes are compiled per (strategy, L, B).  Buckets use a
+    coarse 4x ladder starting at 2048 and lanes are capped at MAX_B —
+    compile time grows steeply with B, and since the pass cost is
+    dominated by per-site work (not lanes), small chunks pipeline fine.
+    """
+
+    MAX_B = 256
+    MIN_BUCKET = 2048
+
+    def _bucket_len2(self, n: int) -> int:
+        # 4x ladder, switching to 2x above 32k to bound pad waste on the
+        # long-read tail: 2048, 8192, 32768, 65536, 131072, ...
+        b = self.MIN_BUCKET
+        while b < n:
+            b *= 2 if b >= 32768 else 4
+        return b
+
+    def correct_batch(self, seqs, two_side: bool):
+        out = [None] * len(seqs)
+        order = np.argsort([len(s) for s in seqs], kind="stable")
+        groups: dict[int, list[int]] = {}
+        for idx in order:
+            groups.setdefault(self._bucket_len2(len(seqs[idx]) + 8),
+                              []).append(idx)
+
+        for bucket, idxs in groups.items():
+            L = bucket + max(64, bucket // 8)
+            B = min(self.MAX_B, max(8, self.TARGET_ELEMS // L))
+            for lo in range(0, len(idxs), B):
+                chunk = idxs[lo : lo + B]
+                res = self._correct_chunk([seqs[i] for i in chunk], L,
+                                          two_side)
+                for i, seq in zip(chunk, res):
+                    out[i] = seq
+        return out
 
     def _get_pass2(self, strategy: str, L: int, B: int):
         key = ("v2", strategy, L, B)
@@ -761,7 +822,7 @@ class Tpu2Corrector(TpuCorrector):
     def _correct_chunk(self, seqs, L: int, two_side: bool):
         from br_tpu.correct.engine import _reverse_batch
 
-        B = max(8, self.TARGET_ELEMS // L)
+        B = min(self.MAX_B, max(8, self.TARGET_ELEMS // L))
         if self.mesh is not None:
             D = self.mesh.size
             B = -(-B // D) * D
@@ -785,7 +846,7 @@ class Tpu2Corrector(TpuCorrector):
         def run_chain(a, n, cap_any):
             for strat in self.corrections:
                 fn = self._get_pass2(strat, L, B)
-                a, n, cap = fn(self.table, a, n)
+                a, n, cap, _aux = fn(self.table, a, n)
                 cap_any = cap_any | cap
             return a, n, cap_any
 

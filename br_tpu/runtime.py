@@ -96,6 +96,10 @@ def make_corrector(valid_kmer, corrections, confirm, max_search, backend="auto")
         except Exception:  # pragma: no cover - jax always present in CI
             backend = "oracle"
     if backend == "jax":
+        from br_tpu.correct.engine2 import Tpu2Corrector
+
+        return Tpu2Corrector(valid_kmer, corrections, confirm, max_search)
+    if backend == "jax-v1":
         from br_tpu.correct.engine import TpuCorrector
 
         return TpuCorrector(valid_kmer, corrections, confirm, max_search)

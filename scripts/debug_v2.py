@@ -39,10 +39,11 @@ compiled = lowered.compile()
 print(f"compile: {time.perf_counter()-t0:.1f}s", flush=True)
 
 t0 = time.perf_counter()
-out, out_len, cap = compiled(table, ascii_in, lens)
+out, out_len, cap, aux = compiled(table, ascii_in, lens)
 jax.block_until_ready((out, out_len, cap))
 print(f"run: {time.perf_counter()-t0:.3f}s", flush=True)
-print("out_len:", np.asarray(out_len), "cap:", np.asarray(cap))
+print("out_len:", np.asarray(out_len), "cap:", np.asarray(cap),
+      "aux:", np.asarray(aux))
 for i, r in enumerate(reads):
     got = np.asarray(out)[i, : int(out_len[i])].tobytes()
     print(f"read{i}: in=out: {got == r} (clean read, expect True)")
