@@ -353,9 +353,12 @@ def _unique_path_walk(probe, k: int, corr, alt_code, first_correct,
         slot = 1 + ((rpos - 1) % (RING - 1))  # slot 0 pinned to the start
         ring = ring.at[slot].set(wk2)
 
+        # CAP outranks ACCEPT: at n == MAX_WALK the _pack write above
+        # clips, so an acceptance on the cap step would emit a corrupted
+        # path — raise cap (-> exact host fallback) instead.
         status = jnp.where(
             branch_fail | revisit, DECLINE,
-            jnp.where(accept, ACCEPT, jnp.where(capped, CAP, RUN)))
+            jnp.where(capped, CAP, jnp.where(accept, ACCEPT, RUN)))
         return (wk2, n + 1, buf, ring, rpos + 1, jnp.int32(status))
 
     wk, n, buf, _ring, _rpos, status = jax.lax.while_loop(cond, body, init)

@@ -72,13 +72,7 @@ RING = 32
 OFF_MARGIN = 16
 #: chain records per site (applied repairs in one dirty chain).
 SLOTS = 8
-#: dirty-round capacity schedule (fractions of the site capacity).
-ROUND_FRACS = (4, 16)
-TAIL_FRAC = 16
 TAIL_ROUNDS = 16
-#: pointer-doubling rounds for chain reachability (2^13 = longest
-#: supported visited-chain per segment; segments are < 2^13 sites).
-REACH_ROUNDS = 13
 #: dirty error_len walk cap (graph/gap-size with a perturbed register).
 #: dirty rounds are rare; tight caps keep their nested loops cheap and
 #: spill to the host fallback instead.
@@ -176,9 +170,12 @@ def _unique_walk(probe, k: int, corr, alt_code, first_correct,
             buf[jnp.clip(wi, 0, W - 1)] | (sa << sh))
         slot = 1 + ((rpos - 1) % (RING - 1))
         ring = ring.at[slot].set(wk2)
+        # CAP outranks ACCEPT: at n == walk_cap the buf slot write above
+        # clips, so an acceptance on the cap step would emit a corrupted
+        # path — raise cap (-> exact host fallback) instead.
         status = jnp.where(
             branch_fail | revisit, DECLINE,
-            jnp.where(accept, ACCEPT, jnp.where(capped, CAP, RUN)))
+            jnp.where(capped, CAP, jnp.where(accept, ACCEPT, RUN)))
         return (wk2, n + 1, buf, ring, rpos + 1, jnp.int32(status))
 
     wk, n, buf, _r, _p, status = jax.lax.while_loop(cond, body, init)
@@ -270,7 +267,9 @@ def _dirty_err_fn(probe, codes, k: int, err_cap: int = ERR_CAP):
 def make_pass2_fn(k: int, strategy: str, c: int, ms: int, nb: int,
                   B: int, L: int, probe_kind: str):
     """One jitted (table, ascii (B,L) u8, lens (B,) i32) ->
-    (out (B,L) u8, out_lens (B,) i32, cap (B,) bool)."""
+    (out (B,L) u8, out_lens (B,) i32, cap (B,) bool, aux (8,) i32);
+    aux = (sites, cap-overflow, cap-attempt, cap-boundary, cap-rounds,
+    visited sites, applied records, capped lanes) diagnostic counters."""
 
     BL = B * L
     OFFSET = k + OFF_MARGIN
@@ -284,7 +283,11 @@ def make_pass2_fn(k: int, strategy: str, c: int, ms: int, nb: int,
     NTAIL = max(128, NS // 4)
     NR = NS + NS // 2                # record capacity
     NSEG = B + max(256, BL // 96)    # walk-lane capacity
-    DONE_PURE, DONE_END, PENDING, DEAD = 0, 1, 2, 3
+    # pointer-doubling rounds: after r rounds visited covers 2^r hops from
+    # a segment head; chains are strictly increasing in site index, hence
+    # <= NS long, so ceil(log2(NS+1)) rounds always suffice.
+    REACH_ROUNDS = NS.bit_length()
+    DONE_PURE, DONE_END, PENDING = 0, 1, 2
 
     def passfn(table, ascii_in, lens):
         if probe_kind == "solid":
@@ -420,7 +423,13 @@ def make_pass2_fn(k: int, strategy: str, c: int, ms: int, nb: int,
             state = jnp.where(state < 0, DONE_PURE, state)
             # PENDING: attempt at i with register reg, t absorbs so far
             t = jnp.where(state == PENDING, t + 1, t)
-            cap_cross = (state != DONE_END) & (i > sef)
+            # Crossing a resync boundary always raises cap — including in
+            # the DONE_END state: when a later boundary exists (sef < lenf)
+            # the next segment's walk lane still assumes a pure machine at
+            # that boundary, so an uncapped crossing could splice repairs
+            # the oracle never made.  For the common last-segment case
+            # sef == lenf and i <= lenf, so this never fires spuriously.
+            cap_cross = i > sef
             return state, i, reg, t, cap_cross
 
         # per-site resolution state
