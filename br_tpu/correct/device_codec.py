@@ -82,6 +82,78 @@ def make_solid_probe(words, k: int):
     return probe
 
 
+# -- 32-bit dense path (k <= 16, i.e. 2k <= 32 bits) ------------------------
+#
+# The per-position dense work (rolling k-mers + canonicalize + probe over
+# every base of a batch) is the hot loop of a pass; XLA emulates uint64 as
+# uint32 pairs on TPU, so for the headline k range (13..15) doing the dense
+# phase in native uint32 halves the VPU work.
+
+U32 = jnp.uint32
+
+
+def kmer_dtype(k: int):
+    """Narrowest device dtype that holds a 2k-bit k-mer."""
+    return U32 if 2 * k <= 32 else U64
+
+
+def revcomp32(kmer, k: int):
+    x = kmer ^ U32(comp_mask(k) & 0xFFFFFFFF)
+    x = ((x & U32(0x33333333)) << U32(2)) | ((x & U32(0xCCCCCCCC)) >> U32(2))
+    x = ((x & U32(0x0F0F0F0F)) << U32(4)) | ((x & U32(0xF0F0F0F0)) >> U32(4))
+    x = ((x & U32(0x00FF00FF)) << U32(8)) | ((x & U32(0xFF00FF00)) >> U32(8))
+    x = (x << U32(16)) | (x >> U32(16))
+    return x >> U32(32 - 2 * k)
+
+
+def canonical_any(kmer, k: int):
+    """pcon canonical rule (even-popcount keeps the k-mer) for u32 or u64."""
+    one = kmer.dtype.type(1)
+    zero = kmer.dtype.type(0)
+    even = (jax.lax.population_count(kmer) & one) == zero
+    rc = revcomp32(kmer, k) if kmer.dtype == U32 else revcomp(kmer, k)
+    return jnp.where(even, kmer, rc)
+
+
+def make_solid_probe_any(words, k: int):
+    """make_solid_probe for k-mer arrays of any unsigned dtype."""
+
+    def probe(kmer):
+        cano = canonical_any(kmer, k)
+        idx = cano >> kmer.dtype.type(1)
+        widx = (idx >> kmer.dtype.type(5)).astype(jnp.int32)
+        bit = (idx & kmer.dtype.type(31)).astype(jnp.uint32)
+        w = words[widx]
+        return ((w >> bit) & jnp.uint32(1)) == jnp.uint32(1)
+
+    return probe
+
+
+def make_hash_probe_any(table, k: int):
+    """make_hash_probe accepting u32 k-mer arrays (upcasts to u64)."""
+    p64 = make_hash_probe(table, k)
+
+    def probe(kmer):
+        return p64(kmer.astype(U64))
+
+    return probe
+
+
+def unpack_codes(packed, L: int):
+    """(… , L//4) uint8 with 4 LSB-first 2-bit codes per byte -> (…, L)."""
+    sh = (jnp.arange(4, dtype=jnp.uint8) * jnp.uint8(2))
+    c = (packed[..., :, None] >> sh) & jnp.uint8(3)
+    return c.reshape(packed.shape[:-1] + (L,))
+
+
+def pack_codes(codes):
+    """Inverse of unpack_codes; last axis length must be a multiple of 4."""
+    L = codes.shape[-1]
+    c = codes.reshape(codes.shape[:-1] + (L // 4, 4)).astype(jnp.uint8)
+    return (c[..., 0] | (c[..., 1] << jnp.uint8(2))
+            | (c[..., 2] << jnp.uint8(4)) | (c[..., 3] << jnp.uint8(6)))
+
+
 def make_hash_probe(table, k: int):
     """Membership closure over a sorted uint64 canonical-k-mer table
     (the large-k backend): branchless binary search, ~log2(n) gathers."""
@@ -112,7 +184,13 @@ _DECODE_LUT = _np.frombuffer(b"ACTG", dtype=_np.uint8)
 
 
 def decode_codes(codes):
-    return jnp.asarray(_DECODE_LUT)[codes & jnp.uint8(3)]
+    """2-bit code -> ascii base, arithmetically (no table gather):
+    A=65, C=67, T=84, G=71."""
+    c = codes & jnp.uint8(3)
+    return (jnp.uint8(65)
+            + jnp.where(c == 1, jnp.uint8(2), jnp.uint8(0))
+            + jnp.where(c == 2, jnp.uint8(19), jnp.uint8(0))
+            + jnp.where(c == 3, jnp.uint8(6), jnp.uint8(0)))
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -124,4 +202,14 @@ def rolling_kmers(codes, k: int):
     for t in range(k):
         shifted = jnp.roll(c, t, axis=-1) << _u(2 * t)
         out = out | shifted
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def rolling_kmers32(codes, k: int):
+    """rolling_kmers in uint32 (valid for 2k <= 32)."""
+    c = codes.astype(U32)
+    out = jnp.zeros_like(c)
+    for t in range(k):
+        out = out | (jnp.roll(c, t, axis=-1) << U32(2 * t))
     return out

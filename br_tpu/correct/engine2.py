@@ -51,7 +51,6 @@ from br_tpu.correct.device_codec import U64, _u, add_nuc
 from br_tpu.correct.engine import (
     AttemptOut,
     TpuCorrector,
-    _alt_info,
     _code_at,
     make_greedy_attempt,
     make_one_attempt,
@@ -73,11 +72,12 @@ OFF_MARGIN = 16
 #: chain records per site (applied repairs in one dirty chain).
 SLOTS = 8
 TAIL_ROUNDS = 16
-#: dirty error_len walk cap (graph/gap-size with a perturbed register).
-#: dirty rounds are rare; tight caps keep their nested loops cheap and
-#: spill to the host fallback instead.
-ERR_CAP = 64
-WALK_MAX_DIRTY = 64
+#: tier-1 walk step budget: <= RING-2 steps, so the tier-1 ring holds the
+#: FULL visited history (exact revisit detection, graph.rs:71-75 /
+#: gap_size.rs:54) — no wrap, no missed long cycles.
+T1_STEPS = 30
+#: tier-2 history width (start + up to WALK_MAX visited k-mers).
+NH2 = 256
 
 BIG = np.int32(1 << 30)
 
@@ -98,11 +98,11 @@ def _lower_bound(arr, q):
     return pos
 
 
-def _compact(mask, fields, cap: int, fill=0):
+def _compact(mask, fields, cap: int, fill=0, with_src: bool = False):
     """Compact `fields` (arrays over the mask axis) to `cap` slots.
 
     Returns (compacted fields, slot-valid mask, overflow mask over the
-    ORIGINAL axis marking entries that did not fit)."""
+    ORIGINAL axis marking entries that did not fit[, source indices])."""
     cum = jnp.cumsum(mask.astype(I32))
     total = cum[-1]
     src = _lower_bound(cum, jnp.arange(1, cap + 1, dtype=I32))
@@ -114,6 +114,8 @@ def _compact(mask, fields, cap: int, fill=0):
         out.append(jnp.where(ok.reshape((cap,) + (1,) * (g.ndim - 1)),
                              g, jnp.asarray(fill, dtype=g.dtype)))
     overflow = mask & (cum > cap)
+    if with_src:
+        return out, ok, overflow, srcc
     return out, ok, overflow
 
 
@@ -127,71 +129,138 @@ def _pack_words(codes_list):
 
 
 # ---------------------------------------------------------------------------
-# Graph / GapSize attempts, parameterized by the error_len implementation
-# (pure sites use the O(1) jump table; dirty ones walk with a cap).
+# Unique-successor de Bruijn walk, array-level and two-tier.
+#
+# Tier 1 walks every enabled lane up to T1_STEPS with the visited history
+# held in a RING-wide buffer (T1_STEPS <= RING-2, so the history is FULL:
+# the revisit test is exactly the reference's viewed-kmer set,
+# graph.rs:71-75 / gap_size.rs:54).  The few lanes still running are
+# compacted to `n2` slots and continue in tier 2 up to WALK_MAX steps with
+# an NH2-wide (full) history.  Lanes that outgrow n2 or WALK_MAX raise CAP
+# (-> exact host fallback).
 # ---------------------------------------------------------------------------
 
+RUN, ACCEPT, DECLINE, CAP = 0, 1, 2, 3
 
-def _unique_walk(probe, k: int, corr, alt_code, first_correct,
-                 use_fc, max_steps, enabled, walk_cap: int = WALK_MAX):
-    """Unique-successor de Bruijn walk (graph.rs:44-85, gap_size.rs:44-89)
-    capped at WALK_MAX steps (cap -> host fallback).
 
-    ``use_fc`` is a per-lane boolean: True = graph mode (walk while valid,
-    accept on reaching ``first_correct``); False = fill mode (walk exactly
-    ``max_steps`` unique successors)."""
-    RUN, ACCEPT, DECLINE, CAP = 0, 1, 2, 3
+def _alt_info_arr(probe, kmer):
+    """Array-level 'exactly one alternative last base' gate
+    (mod.rs:114-116); kmer is a (N,) u64 array."""
+    base = (kmer >> _u(2)) << _u(2)
+    cands = base[None, :] ^ jnp.arange(4, dtype=U64)[:, None]
+    ok = probe(cands)
+    n = jnp.sum(ok.astype(I32), axis=0)
+    alt = jnp.sum(jnp.arange(4, dtype=U64)[:, None] * ok.astype(U64),
+                  axis=0)
+    return n, base ^ alt
 
-    buf0 = jnp.zeros(W, dtype=U64).at[0].set(alt_code.astype(U64))
-    ring0 = jnp.full(RING, ~_u(0)).at[0].set(corr)
-    init = (corr, jnp.int32(1), buf0, ring0, jnp.int32(1),
-            jnp.where(enabled, jnp.int32(RUN), jnp.int32(DECLINE)))
+
+def _walk_active(wk, n, status, use_fc, max_steps, phase_cap: int):
+    return (status == RUN) & (use_fc | ((n - 1) < max_steps)) & \
+        (n <= phase_cap)
+
+
+def _walk_phase(probe, k: int, state, use_fc, max_steps, first_correct,
+                phase_cap: int, nh: int):
+    """Advance the walk until every lane freezes (array-level while_loop).
+
+    state = (wk, n, buf, status, hist); hist[:, j] = register after step j
+    (slot 0 = start k-mer), so `revisit` is exact.  ``use_fc`` per-lane
+    selects graph mode (accept on reaching ``first_correct``) vs fill mode
+    (walk exactly ``max_steps``; budget-exhausted lanes freeze as RUN =
+    fill success).  CAP outranks ACCEPT at the WALK_MAX step."""
+    wcols = jnp.arange(W, dtype=I32)[None, :]
+    hcols = jnp.arange(nh, dtype=I32)[None, :]
 
     def cond(st):
-        _wk, n, _buf, _ring, _rpos, status = st
-        more = use_fc | ((n - 1) < max_steps)
-        return (status == RUN) & more
+        wk, n, buf, status, hist = st
+        return jnp.any(_walk_active(wk, n, status, use_fc, max_steps,
+                                    phase_cap))
 
     def body(st):
-        wk, n, buf, ring, rpos, status = st
+        wk, n, buf, status, hist = st
+        act = _walk_active(wk, n, status, use_fc, max_steps, phase_cap)
         cands = jnp.stack([add_nuc(wk, jnp.uint8(a), k) for a in range(4)])
         okv = probe(cands)
-        ns = jnp.sum(okv.astype(I32))
-        sa = jnp.sum(jnp.arange(4, dtype=U64) * okv.astype(U64))
+        ns = jnp.sum(okv.astype(I32), axis=0)
+        sa = jnp.sum(jnp.arange(4, dtype=U64)[:, None] * okv.astype(U64),
+                     axis=0)
         wk2 = add_nuc(wk, sa.astype(jnp.uint8), k)
         branch_fail = ns != 1
-        revisit = jnp.any(ring == wk2)
+        revisit = jnp.any(hist == wk2[:, None], axis=1)
         accept = use_fc & (wk2 == first_correct)
-        capped = n >= walk_cap
+        capped = n >= WALK_MAX
 
         wi = n // 31
         sh = ((n % 31) * 2).astype(U64)
-        buf = buf.at[jnp.clip(wi, 0, W - 1)].set(
-            buf[jnp.clip(wi, 0, W - 1)] | (sa << sh))
-        slot = 1 + ((rpos - 1) % (RING - 1))
-        ring = ring.at[slot].set(wk2)
-        # CAP outranks ACCEPT: at n == walk_cap the buf slot write above
-        # clips, so an acceptance on the cap step would emit a corrupted
-        # path — raise cap (-> exact host fallback) instead.
-        status = jnp.where(
+        bupd = (wcols == wi[:, None]) & act[:, None]
+        buf = jnp.where(bupd, buf | (sa[:, None] << sh[:, None]), buf)
+        hupd = (hcols == jnp.minimum(n, nh - 1)[:, None]) & act[:, None]
+        hist = jnp.where(hupd, wk2[:, None], hist)
+        st2 = jnp.where(
             branch_fail | revisit, DECLINE,
             jnp.where(capped, CAP, jnp.where(accept, ACCEPT, RUN)))
-        return (wk2, n + 1, buf, ring, rpos + 1, jnp.int32(status))
+        status = jnp.where(act, st2.astype(I32), status)
+        wk = jnp.where(act, wk2, wk)
+        n = jnp.where(act, n + 1, n)
+        return (wk, n, buf, status, hist)
 
-    wk, n, buf, _r, _p, status = jax.lax.while_loop(cond, body, init)
+    return jax.lax.while_loop(cond, body, state)
+
+
+def _tiered_walk(probe, k: int, corr, alt_code, first_correct, use_fc,
+                 max_steps, enabled, n2: int):
+    """Full walk over N lanes: tier 1 (all lanes, <= T1_STEPS) then tier 2
+    (<= n2 surviving lanes, <= WALK_MAX).  Returns (ok, cap, buf, n, wk)."""
+    N = corr.shape[0]
+    buf0 = jnp.zeros((N, W), U64).at[:, 0].set(alt_code.astype(U64))
+    hist0 = jnp.full((N, RING), ~_u(0)).at[:, 0].set(corr)
+    status0 = jnp.where(enabled, RUN, DECLINE).astype(I32)
+    st = (corr, jnp.ones(N, I32), buf0, status0, hist0)
+    wk, n, buf, status, hist = _walk_phase(
+        probe, k, st, use_fc, max_steps, first_correct, T1_STEPS, RING)
+
+    pend = _walk_active(wk, n, status, use_fc, max_steps, WALK_MAX)
+    (c_wk, c_n, c_buf, c_hist, c_fc, c_ufc, c_ms, c_src), c_ok, over, _ = \
+        _compact(pend, (wk, n, buf, hist, first_correct, use_fc, max_steps,
+                        jnp.arange(N, dtype=I32)), n2, with_src=True)
+    status = jnp.where(over, CAP, status)
+
+    hist2 = jnp.full((n2, NH2), ~_u(0)).at[:, :RING].set(c_hist)
+    st2 = (c_wk, c_n, c_buf,
+           jnp.where(c_ok, RUN, DECLINE).astype(I32), hist2)
+    wk2, n2a, buf2, status2, _h = _walk_phase(
+        probe, k, st2, c_ufc, c_ms, c_fc, WALK_MAX, NH2)
+
+    idx = jnp.where(c_ok, c_src, N)  # OOB rows dropped by scatter
+    wk = wk.at[idx].set(wk2, mode="drop")
+    n = n.at[idx].set(n2a, mode="drop")
+    buf = buf.at[idx].set(buf2, mode="drop")
+    status = status.at[idx].set(status2, mode="drop")
+
     ok = jnp.where(use_fc, status == ACCEPT, status == RUN)
     return ok, status == CAP, buf, n, wk
 
 
-def make_graph_attempt2(probe, codes, k: int, err_fn,
-                        walk_cap: int = WALK_MAX):
+# ---------------------------------------------------------------------------
+# Graph / GapSize attempts (array-level), parameterized by the error_len
+# implementation (pure sites use the O(1) jump table; dirty ones absorb at
+# most k explicit steps and then use the same jump table — see
+# make_pass2_fn.dirty_err_fn).
+# ---------------------------------------------------------------------------
+
+
+def make_graph_attempt_arr(probe, codes, k: int, err_fn, n2: int):
+    """Graph strategy (graph.rs:44-85) over arrays of sites."""
+
     def attempt(i, kmer, length):
         err_len, fc, ecap = err_fn(i, kmer, length)
-        nalts, corr = _alt_info(probe, kmer)
+        nalts, corr = _alt_info_arr(probe, kmer)
         alt_code = corr & _u(3)
-        ok_w, cap, buf, n, wk = _unique_walk(
-            probe, k, corr, alt_code, fc, jnp.bool_(True),
-            jnp.int32(walk_cap), nalts == 1, walk_cap)
+        ok_w, cap, buf, n, wk = _tiered_walk(
+            probe, k, corr, alt_code, fc,
+            jnp.ones(i.shape, bool), jnp.full(i.shape, WALK_MAX, I32),
+            nalts == 1, n2)
         ok = (nalts == 1) & ok_w
         return AttemptOut(ok, wk, err_len + 1, buf, n,
                           ((nalts == 1) & cap) | ecap)
@@ -199,11 +268,12 @@ def make_graph_attempt2(probe, codes, k: int, err_fn,
     return attempt
 
 
-def make_gap_attempt2(probe, codes, k: int, c: int, err_fn,
-                      walk_cap: int = WALK_MAX):
+def make_gap_attempt_arr(probe, codes, k: int, c: int, err_fn, n2: int):
+    """GapSize dispatch (gap_size.rs:97-108) over arrays of sites."""
+
     def attempt(i, kmer, length):
         err_len, fc, ecap = err_fn(i, kmer, length)
-        nalts, corr = _alt_info(probe, kmer)
+        nalts, corr = _alt_info_arr(probe, kmer)
         alt_code = corr & _u(3)
 
         is_graph = err_len < k
@@ -211,11 +281,13 @@ def make_gap_attempt2(probe, codes, k: int, c: int, err_fn,
         is_one = err_len == k
         is_fill = err_len > k
         # one walk serves both graph mode and fill mode (per-lane select)
-        ok_w, cap_w, buf, n, wk = _unique_walk(
+        ok_w, cap_w, buf, n, wk = _tiered_walk(
             probe, k, corr, alt_code, fc, is_graph, gap,
-            (is_graph | is_fill) & (nalts == 1), walk_cap)
-        one_att = make_one_attempt(probe, codes, length, k, c)
-        o = one_att(i, kmer)
+            (is_graph | is_fill) & (nalts == 1), n2)
+        one_v = jax.vmap(
+            lambda ii, km, ln: make_one_attempt(probe, codes, ln, k, c)(
+                ii, km))
+        o = one_v(i, kmer, length)
 
         ok = jnp.where(is_one, o.ok, (nalts == 1) & ok_w)
         cap_hit = ~is_one & (nalts == 1) & cap_w
@@ -223,40 +295,12 @@ def make_gap_attempt2(probe, codes, k: int, c: int, err_fn,
         consumed = jnp.where(is_graph, err_len + 1,
                              jnp.where(is_one, o.consumed, n))
         cnt = jnp.where(is_one, o.cnt, n)
-        emit = jnp.where(is_one,
-                         jnp.zeros_like(buf).at[0].set(o.emit[0]), buf)
+        emitz = jnp.zeros_like(buf).at[:, 0].set(o.emit[:, 0])
+        emit = jnp.where(is_one[:, None], emitz, buf)
         return AttemptOut(ok, new_kmer, consumed, emit, cnt,
                           cap_hit | ecap)
 
     return attempt
-
-
-def _dirty_err_fn(probe, codes, k: int, err_cap: int = ERR_CAP):
-    """error_len by explicit walk (mod.rs:130-152) for dirty registers,
-    capped at ERR_CAP steps."""
-
-    def err_fn(i, kmer, length):
-        rem = length - i
-
-        def cond(st):
-            return ~st[2]
-
-        def body(st):
-            j, km, done, found, cap = st
-            j2 = j + 1
-            at_end = j2 >= rem
-            km2 = jnp.where(at_end, km,
-                            add_nuc(km, _code_at(codes, i + j2), k))
-            f = ~at_end & probe(km2)
-            capped = j2 >= err_cap
-            return (j2, km2, at_end | f | capped, f, cap | capped)
-
-        j, km, _d, _f, cap = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), kmer, jnp.bool_(False),
-                         jnp.bool_(False), jnp.bool_(False)))
-        return j, km, cap
-
-    return err_fn
 
 
 # ---------------------------------------------------------------------------
@@ -265,11 +309,17 @@ def _dirty_err_fn(probe, codes, k: int, err_cap: int = ERR_CAP):
 
 
 def make_pass2_fn(k: int, strategy: str, c: int, ms: int, nb: int,
-                  B: int, L: int, probe_kind: str):
-    """One jitted (table, ascii (B,L) u8, lens (B,) i32) ->
-    (out (B,L) u8, out_lens (B,) i32, cap (B,) bool, aux (8,) i32);
+                  B: int, L: int, probe_kind: str, _stage: int = 0):
+    """One jitted (table, packed (B,L//4) u8, lens (B,) i32) ->
+    (out packed (B,L//4) u8, out_lens (B,) i32, cap (B,) bool,
+    aux (8,) i32).  Reads travel as 2-bit codes, 4 per byte LSB-first
+    (4x less relay transfer than ascii; the driver guarantees pure
+    uppercase-ACGT input so codes are lossless).
     aux = (sites, cap-overflow, cap-attempt, cap-boundary, cap-rounds,
-    visited sites, applied records, capped lanes) diagnostic counters."""
+    visited sites, applied records, capped lanes) diagnostic counters.
+
+    ``_stage`` (profiling only): stop the program after stage N and return
+    checksums of the live intermediates instead (0 = full pass)."""
 
     BL = B * L
     OFFSET = k + OFF_MARGIN
@@ -278,9 +328,20 @@ def make_pass2_fn(k: int, strategy: str, c: int, ms: int, nb: int,
     # exact host fallback, so tight capacities trade rare fallbacks for
     # throughput on every pass.
     NS = max(512, BL // 64)          # site capacity
-    NSB = max(256, NS // 2)          # gate-surviving sites (full attempt)
-    N1 = max(256, NS // 2)
-    NTAIL = max(128, NS // 4)
+    # gate-surviving sites (full attempt evaluation).  one/two attempts
+    # are straight-line and cheap, so they keep the full site capacity
+    # (the first fwd pass of a chain sees the most sites — r1 profiling
+    # measured 17k gate survivors on a 2M-element chunk, overflowing the
+    # old NS//2).  Walk strategies pay ~4 probes x NSB per walk step, so
+    # they run tighter and spill overflow to the host fallback.
+    if strategy in ("one", "two"):
+        NSB = NS
+    else:
+        NSB = max(1024, NS // 4)
+    N1 = max(512, NS // 8)           # dirty-round-1 lane capacity
+    NTAIL = max(256, NS // 16)       # tail-round lane capacity
+    NW2 = 1024                       # tier-2 walk lanes (round 0)
+    NW2D = 256                       # tier-2 walk lanes (dirty rounds)
     NR = NS + NS // 2                # record capacity
     NSEG = B + max(256, BL // 96)    # walk-lane capacity
     # pointer-doubling rounds: after r rounds visited covers 2^r hops from
@@ -289,20 +350,28 @@ def make_pass2_fn(k: int, strategy: str, c: int, ms: int, nb: int,
     REACH_ROUNDS = NS.bit_length()
     DONE_PURE, DONE_END, PENDING = 0, 1, 2
 
-    def passfn(table, ascii_in, lens):
+    def passfn(table, packed_in, lens):
+        # dtype-polymorphic membership probe: dense arrays use the
+        # narrowest k-mer dtype (u32 for k <= 16), site/walk math is u64
         if probe_kind == "solid":
-            probe = dc.make_solid_probe(table, k)
+            probe = dc.make_solid_probe_any(table, k)
         else:
-            probe = dc.make_hash_probe(table, k)
+            probe = dc.make_hash_probe_any(table, k)
 
         # ---------------- 1. dense precompute --------------------------
-        codes2 = dc.encode_ascii(ascii_in)              # (B, L)
-        kmers2 = dc.rolling_kmers(codes2, k)            # (B, L)
+        codes2 = dc.unpack_codes(packed_in, L)          # (B, L) 2-bit
+        if dc.kmer_dtype(k) == dc.U32:
+            kmers2 = dc.rolling_kmers32(codes2, k)      # (B, L)
+        else:
+            kmers2 = dc.rolling_kmers(codes2, k)
         pos = jnp.arange(L, dtype=I32)[None, :]
         lensb = lens[:, None]
         V2 = probe(kmers2) & (pos >= k - 1) & (pos < lensb)
         Vprev = jnp.pad(V2[:, :-1], ((0, 0), (1, 0)))
         T2 = Vprev & ~V2 & (pos >= k) & (pos < lensb)
+
+        if _stage == 1:  # dense precompute (codes, kmers, V, T)
+            return (jnp.sum(V2.astype(I32)), jnp.sum(T2.astype(I32)))
 
         ntp = _rcummin(jnp.where(T2, pos, BIG))          # next transition >= p
         nvp = _rcummin(jnp.where(V2, pos, BIG))          # next valid >= p
@@ -319,6 +388,10 @@ def make_pass2_fn(k: int, strategy: str, c: int, ms: int, nb: int,
         se = se2.reshape(-1)
         codes = codes2.reshape(-1)
         kmers = kmers2.reshape(-1)
+
+        if _stage == 2:  # + jump tables / segment ends
+            return (jnp.sum(nt), jnp.sum(nv), jnp.sum(se),
+                    jnp.sum(Bm2.astype(I32)))
 
         cap_lane = jnp.zeros(B, dtype=bool)
 
@@ -342,8 +415,12 @@ def make_pass2_fn(k: int, strategy: str, c: int, ms: int, nb: int,
         s_lane = sflat // L
         s_len = s_lane * L + lens[jnp.clip(s_lane, 0, B - 1)]  # flat length
         s_se = se[sflat]
-        s_reg = kmers[sflat]
+        s_reg = kmers[sflat].astype(U64)
         s_pos = jnp.where(smask, sflat, BIG)
+
+        if _stage == 3:  # + site compaction
+            return (jnp.sum(s_pos), jnp.sum(s_reg), jnp.sum(s_se),
+                    jnp.sum(cap_lane.astype(I32)))
 
         # ---------------- 3. attempt machinery -------------------------
         def pure_err_fn(i, kmer, length):
@@ -355,12 +432,41 @@ def make_pass2_fn(k: int, strategy: str, c: int, ms: int, nb: int,
             j = jnp.where(found, q - i, rem)
             end_idx = jnp.where(found, q,
                                 jnp.where(rem >= 2, i + rem - 1, i))
-            km_end = kmers[jnp.clip(end_idx, 0, BL - 1)]
+            km_end = kmers[jnp.clip(end_idx, 0, BL - 1)].astype(U64)
             return j, km_end, jnp.bool_(False)
 
-        dirty_err = _dirty_err_fn(probe, codes, k)
+        def dirty_err_fn(i, kmer, length):
+            """Exact error_len (mod.rs:130-152) for a dirty register in
+            O(k): absorb at most k explicit steps (after k absorbs the
+            register provably equals the rolling table k-mer), then jump
+            to the next valid position via the nv table."""
+            rem = length - i
+            km = kmer
+            j = jnp.zeros_like(i)
+            done = jnp.zeros(i.shape, bool)
+            for j2 in range(1, k + 1):
+                at_end = jnp.int32(j2) >= rem
+                step = ~done
+                adv = step & ~at_end
+                km2 = jnp.where(
+                    adv,
+                    add_nuc(km, _code_at(codes, jnp.clip(i + j2, 0, BL - 1)),
+                            k), km)
+                f = adv & probe(km2)
+                j = jnp.where(step, jnp.int32(j2), j)
+                km = km2
+                done = done | (step & (at_end | f))
+            q = nv[jnp.clip(i + k + 1, 0, BL - 1)]
+            okq = (i + k + 1 < BL) & (q < length)
+            j_jump = jnp.where(okq, q - i, rem)
+            end_idx = jnp.where(okq, q,
+                                jnp.where(rem >= 2, i + rem - 1, i))
+            km_jump = kmers[jnp.clip(end_idx, 0, BL - 1)].astype(U64)
+            j = jnp.where(done, j, j_jump)
+            km = jnp.where(done, km, km_jump)
+            return j, km, jnp.zeros(i.shape, bool)
 
-        def build_attempt(err_fn, walk_cap=WALK_MAX):
+        def build_attempt(err_fn, n2: int):
             if strategy == "one":
                 def att(i, kmer, length):
                     return make_one_attempt(probe, codes, length, k, c)(
@@ -370,30 +476,23 @@ def make_pass2_fn(k: int, strategy: str, c: int, ms: int, nb: int,
                     return make_two_attempt(probe, codes, length, k, c)(
                         i, kmer)
             elif strategy == "greedy":
-                ascii_flat = ascii_in.reshape(-1)
-
+                # code-domain alignment: exact for pure uppercase-ACGT
+                # reads, which the driver guarantees (impure reads are
+                # routed to the host oracle before dispatch)
                 def att(i, kmer, length):
                     return make_greedy_attempt(
                         probe, codes, length, k, ms, nb,
-                        ascii_arr=ascii_flat)(i, kmer)
+                        ascii_arr=None)(i, kmer)
             elif strategy == "graph":
-                g = make_graph_attempt2(probe, codes, k, err_fn,
-                                        walk_cap)
-
-                def att(i, kmer, length):
-                    return g(i, kmer, length)
+                return make_graph_attempt_arr(probe, codes, k, err_fn, n2)
             elif strategy == "gap-size":
-                g = make_gap_attempt2(probe, codes, k, c, err_fn,
-                                      walk_cap)
-
-                def att(i, kmer, length):
-                    return g(i, kmer, length)
+                return make_gap_attempt_arr(probe, codes, k, c, err_fn, n2)
             else:
                 raise ValueError(strategy)
             return jax.vmap(att)
 
-        attempt_pure = build_attempt(pure_err_fn)
-        attempt_dirty = build_attempt(dirty_err, WALK_MAX_DIRTY)
+        attempt_pure = build_attempt(pure_err_fn, NW2)
+        attempt_dirty = build_attempt(dirty_err_fn, NW2D)
 
         # ---------------- 4. dirty-window simulation -------------------
         def dirty_sim(i0, reg0, prev0, t0, lenf, sef):
@@ -585,6 +684,10 @@ def make_pass2_fn(k: int, strategy: str, c: int, ms: int, nb: int,
             s_len, s_se, True,
             succ_pos, s_cap, r_pos, r_cnt, r_skip, r_emit, NS)
 
+        if _stage == 4:  # + round 0 (pure attempts + dirty sim)
+            return (jnp.sum(succ_pos), jnp.sum(s_cap), jnp.sum(r_pos),
+                    jnp.sum(pm.astype(I32)))
+
         # ---- dirty round 1 --------------------------------------------
         (cf, ok_m, over) = _compact(
             pm, (pids, pi, preg, pt, pslot, plenf, psef), N1)
@@ -595,6 +698,10 @@ def make_pass2_fn(k: int, strategy: str, c: int, ms: int, nb: int,
          pm, pids, pi, preg, pt, pslot, plenf, psef) = process_round(
             pids, pi, preg, pt, pslot, ok_m, plenf, psef, False,
             succ_pos, s_cap, r_pos, r_cnt, r_skip, r_emit, N1)
+
+        if _stage == 5:  # + dirty round 1
+            return (jnp.sum(succ_pos), jnp.sum(s_cap), jnp.sum(r_pos),
+                    jnp.sum(pm.astype(I32)))
 
         # ---- tail rounds: fixed NTAIL shape inside one while_loop -----
         (cf, ok_m, over) = _compact(
@@ -631,6 +738,10 @@ def make_pass2_fn(k: int, strategy: str, c: int, ms: int, nb: int,
         # unresolved after all rounds -> cap
         s_cap = s_cap.at[jnp.clip(pids, 0, NS - 1)].max(
             jnp.where(pm & (pids < NS), 4, 0))
+
+        if _stage == 6:  # + tail rounds
+            return (jnp.sum(succ_pos), jnp.sum(s_cap), jnp.sum(r_pos),
+                    jnp.sum(pm.astype(I32)))
 
         site_capped = (s_cap > 0) & smask
         cap_lane = flag_lane(cap_lane, s_lane, site_capped)
@@ -679,6 +790,10 @@ def make_pass2_fn(k: int, strategy: str, c: int, ms: int, nb: int,
         for _ in range(REACH_ROUNDS):
             visited = visited.at[nxt].max(visited)
             nxt = nxt[nxt]
+
+        if _stage == 7:  # + segment chain walk (reachability)
+            return (jnp.sum(visited.astype(I32)),
+                    jnp.sum(cap_lane.astype(I32)))
 
         # ---------------- 6. splice ------------------------------------
         vis_site = visited[:NS]
@@ -751,10 +866,10 @@ def make_pass2_fn(k: int, strategy: str, c: int, ms: int, nb: int,
         eword = cre[r_of, wsel]
         ecode = ((eword >> (2 * (within % 31)).astype(U64)) & _u(3)
                  ).astype(jnp.uint8)
-        ascii_flat = ascii_in.reshape(-1)
-        out_b = jnp.where(is_emit, dc.decode_codes(ecode),
-                          ascii_flat[jnp.clip(src, 0, BL - 1)])
-        out = jnp.where(o < out_len[:, None], out_b, jnp.uint8(0))
+        out_b = jnp.where(is_emit, ecode,
+                          codes[jnp.clip(src, 0, BL - 1)])
+        out = dc.pack_codes(
+            jnp.where(o < out_len[:, None], out_b, jnp.uint8(0)))
 
         def _cnt(m):
             return jnp.sum(m.astype(I32))
@@ -775,48 +890,108 @@ def make_pass2_fn(k: int, strategy: str, c: int, ms: int, nb: int,
 
 
 # ---------------------------------------------------------------------------
-# Batch driver: the v1 driver with v2 pass programs (fixed-B buckets).
+# Batch driver: pipelined chunks, 2-bit packed device IO.
 # ---------------------------------------------------------------------------
+
+_PURE_LUT = np.zeros(256, dtype=bool)
+_PURE_LUT[[65, 67, 71, 84]] = True  # 'A' 'C' 'G' 'T'
+_DECODE = np.frombuffer(b"ACTG", dtype=np.uint8)
+
+
+def make_reverse_fn(B: int, L: int):
+    """Jitted packed-codes reversal of the length-n prefix per lane
+    (the two-side reverse pass works on plain-reversed bytes,
+    src/lib.rs:110-117)."""
+
+    @jax.jit
+    def rev(packed, lens):
+        codes = dc.unpack_codes(packed, L)
+        pos = jnp.arange(L, dtype=I32)[None, :]
+        idx = jnp.where(pos < lens[:, None], lens[:, None] - 1 - pos, pos)
+        r = jnp.take_along_axis(codes, jnp.clip(idx, 0, L - 1), axis=1)
+        return dc.pack_codes(r)
+
+    return rev
 
 
 class Tpu2Corrector(TpuCorrector):
     """Site-parallel batched device corrector (engine v2).
 
     Same public contract as TpuCorrector (bit-exact, cap->oracle
-    fallback); passes are compiled per (strategy, L, B).  Buckets use a
-    coarse 4x ladder starting at 2048 and lanes are capped at MAX_B —
-    compile time grows steeply with B, and since the pass cost is
-    dominated by per-site work (not lanes), small chunks pipeline fine.
+    fallback); passes are compiled per (strategy, L, B).
+
+    Driver shape (all tuned against the axon-relay cost model in
+    PERF_NOTES.md — a dispatch round trip costs ~24 ms and host<->device
+    moves ~0.03-0.06 GB/s):
+
+    * reads move as 2-bit packed codes both ways (4x less transfer);
+      non-ACGT-uppercase reads are routed straight to the host oracle
+      (they are the only case where codes lose information);
+    * every chunk's full chain is enqueued before any result is fetched,
+      so the device queue never drains between chunks;
+    * length buckets use a 2x ladder (pad waste bound ~2x + slack);
+    * host-oracle fallbacks are batched into one native-engine call.
     """
 
     MAX_B = 256
     MIN_BUCKET = 2048
 
     def _bucket_len2(self, n: int) -> int:
-        # 4x ladder, switching to 2x above 32k to bound pad waste on the
-        # long-read tail: 2048, 8192, 32768, 65536, 131072, ...
         b = self.MIN_BUCKET
         while b < n:
-            b *= 2 if b >= 32768 else 4
+            b *= 2
         return b
 
-    def correct_batch(self, seqs, two_side: bool):
-        out = [None] * len(seqs)
+    def _plan(self, seqs, skip):
+        """Group read indices into (idxs, L, B) chunks by length bucket."""
         order = np.argsort([len(s) for s in seqs], kind="stable")
         groups: dict[int, list[int]] = {}
         for idx in order:
+            if int(idx) in skip:
+                continue
             groups.setdefault(self._bucket_len2(len(seqs[idx]) + 8),
-                              []).append(idx)
-
-        for bucket, idxs in groups.items():
-            L = bucket + max(64, bucket // 8)
+                              []).append(int(idx))
+        plans = []
+        for bucket in sorted(groups):
+            idxs = groups[bucket]
+            L = bucket + max(64, bucket // 8)  # slack for net insertions
             B = min(self.MAX_B, max(8, self.TARGET_ELEMS // L))
+            if self.mesh is not None:
+                D = self.mesh.size
+                B = -(-B // D) * D
             for lo in range(0, len(idxs), B):
-                chunk = idxs[lo : lo + B]
-                res = self._correct_chunk([seqs[i] for i in chunk], L,
-                                          two_side)
-                for i, seq in zip(chunk, res):
-                    out[i] = seq
+                plans.append((idxs[lo : lo + B], L, B))
+        return plans
+
+    def correct_batch(self, seqs, two_side: bool):
+        out = [None] * len(seqs)
+        impure = {
+            i for i, s in enumerate(seqs)
+            if not _PURE_LUT[np.frombuffer(s, np.uint8)].all()
+        }
+        plans = self._plan(seqs, impure)
+        handles = [
+            self._dispatch_chunk([seqs[i] for i in idxs], L, B, two_side)
+            for idxs, L, B in plans
+        ]
+        fb_idx = sorted(impure)
+        for (idxs, L, B), (a, n, cap) in zip(plans, handles):
+            a_np = np.asarray(a)[: len(idxs)]
+            n_np = np.asarray(n)
+            cap_np = np.asarray(cap)
+            codes = np.empty((len(idxs), L), np.uint8)
+            for sh in range(4):
+                codes[:, sh::4] = (a_np >> (2 * sh)) & 3
+            for b, i in enumerate(idxs):
+                if cap_np[b]:
+                    fb_idx.append(i)
+                else:
+                    out[i] = _DECODE[codes[b, : n_np[b]]].tobytes()
+        if fb_idx:
+            fixed = self._oracle_correct_many(
+                [seqs[i] for i in fb_idx], two_side)
+            for i, s in zip(fb_idx, fixed):
+                out[i] = s
         return out
 
     def _get_pass2(self, strategy: str, L: int, B: int):
@@ -828,29 +1003,38 @@ class Tpu2Corrector(TpuCorrector):
             self._pass_cache[key] = fn
         return fn
 
-    def _correct_chunk(self, seqs, L: int, two_side: bool):
-        from br_tpu.correct.engine import _reverse_batch
+    def _get_reverse(self, L: int, B: int):
+        key = ("rev", L, B)
+        fn = self._pass_cache.get(key)
+        if fn is None:
+            fn = make_reverse_fn(B, L)
+            self._pass_cache[key] = fn
+        return fn
 
-        B = min(self.MAX_B, max(8, self.TARGET_ELEMS // L))
-        if self.mesh is not None:
-            D = self.mesh.size
-            B = -(-B // D) * D
-        assert len(seqs) <= B
-        ascii_in = np.zeros((B, L), dtype=np.uint8)
+    def _dispatch_chunk(self, seqs, L: int, B: int, two_side: bool):
+        """Enqueue the full chain for one chunk; returns device handles
+        (packed codes, out_lens, cap) without synchronizing."""
+        assert len(seqs) <= B and L % 4 == 0
+        codes = np.zeros((B, L), dtype=np.uint8)
         lens = np.zeros(B, dtype=np.int32)
         for b, s in enumerate(seqs):
-            ascii_in[b, : len(s)] = np.frombuffer(s, dtype=np.uint8)
-            lens[b] = len(s)
+            arr = np.frombuffer(s, dtype=np.uint8)
+            codes[b, : len(arr)] = (arr >> 1) & 3
+            lens[b] = len(arr)
+        b4 = codes.reshape(B, L // 4, 4)
+        packed = (b4[..., 0] | (b4[..., 1] << 2) | (b4[..., 2] << 4)
+                  | (b4[..., 3] << 6))
 
         if self.mesh is not None:
             from br_tpu.parallel.mesh import replicated, shard_batch
 
             self.table = replicated(self.mesh, self.table)
-            a, n = shard_batch(self.mesh, ascii_in, lens)
+            a, n = shard_batch(self.mesh, packed, lens)
         else:
-            a = jax.device_put(ascii_in)
+            a = jax.device_put(packed)
             n = jax.device_put(lens)
         cap_any = jnp.zeros(B, dtype=bool)
+        rev_fn = self._get_reverse(L, B)
 
         def run_chain(a, n, cap_any):
             for strat in self.corrections:
@@ -861,26 +1045,10 @@ class Tpu2Corrector(TpuCorrector):
 
         a, n, cap_any = run_chain(a, n, cap_any)
         if not two_side:
-            a = _reverse_batch(a, n)
+            a = rev_fn(a, n)
             a, n, cap_any = run_chain(a, n, cap_any)
-            a = _reverse_batch(a, n)
-
-        a_np = np.asarray(a)
-        n_np = np.asarray(n)
-        cap_np = np.asarray(cap_any)
-        results = []
-        fallback = [b for b in range(len(seqs)) if cap_np[b]]
-        fixed = {}
-        if fallback:
-            fb = self._oracle_correct_many(
-                [seqs[b] for b in fallback], two_side)
-            fixed = dict(zip(fallback, fb))
-        for b, s in enumerate(seqs):
-            if b in fixed:
-                results.append(fixed[b])
-            else:
-                results.append(a_np[b, : n_np[b]].tobytes())
-        return results
+            a = rev_fn(a, n)
+        return a, n, cap_any
 
     def _oracle_correct_many(self, seqs, two_side: bool):
         if self._oracle is None:

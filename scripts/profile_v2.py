@@ -1,9 +1,18 @@
-"""Per-pass timing + cap counts for the v2 engine on the real corpus."""
+"""Per-pass timing + cap counts for the v2 engine on the real corpus.
 
+Dispatches pass-by-pass with a forced sync after each (np.asarray on the
+aux counters), so each pass's device time is attributed individually —
+the production driver instead pipelines everything (see Tpu2Corrector).
+"""
+
+import sys
 import time
 
-import jax
+sys.path.insert(0, "/root/repo")
+
 import numpy as np
+
+import jax
 
 from br_tpu.correct.engine2 import Tpu2Corrector
 from br_tpu.count import Counter
@@ -22,75 +31,61 @@ solid = counter.to_solid(2)
 tc = Tpu2Corrector(solid, CHAIN, confirm=5, max_search=7)
 
 percall = []
-n_fallback = [0]
-
-orig_chunk = Tpu2Corrector._correct_chunk
 
 
-def patched(self, seqs, L, two_side):
-    import jax.numpy as jnp
-    from br_tpu.correct.engine import _reverse_batch
-
-    B = min(self.MAX_B, max(8, self.TARGET_ELEMS // L))
-    ascii_in = np.zeros((B, L), dtype=np.uint8)
-    lens = np.zeros(B, dtype=np.int32)
-    for b, s in enumerate(seqs):
-        ascii_in[b, : len(s)] = np.frombuffer(s, dtype=np.uint8)
-        lens[b] = len(s)
-    t0 = time.perf_counter()
-    a = jax.device_put(ascii_in)
-    n = jax.device_put(lens)
-    jax.block_until_ready((a, n))
-    percall.append((time.perf_counter() - t0, "put", L, B, "", None))
-    cap_any = jnp.zeros(B, dtype=bool)
-
-    def run_chain(a, n, cap_any, d):
-        for strat in self.corrections:
-            fn = self._get_pass2(strat, L, B)
-            t0 = time.perf_counter()
-            a, n, cap, aux = fn(self.table, a, n)
-            jax.block_until_ready((a, n, cap, aux))
-            percall.append((time.perf_counter() - t0, strat, L, B, d,
-                            np.asarray(aux)))
-            cap_any = cap_any | cap
-        return a, n, cap_any
-
-    a, n, cap_any = run_chain(a, n, cap_any, "fwd")
-    if not two_side:
-        a = _reverse_batch(a, n)
-        a, n, cap_any = run_chain(a, n, cap_any, "rev")
-        a = _reverse_batch(a, n)
-
-    t0 = time.perf_counter()
-    a_np = np.asarray(a)
-    n_np = np.asarray(n)
-    cap_np = np.asarray(cap_any)
-    percall.append((time.perf_counter() - t0, "get", L, B, "", None))
-
-    results = []
-    fallback = [b for b in range(len(seqs)) if cap_np[b]]
-    n_fallback[0] += len(fallback)
-    fixed = {}
-    if fallback:
+def run_profiled(note):
+    plans = tc._plan(reads, skip=set())
+    total_cap = 0
+    for idxs, L, B in plans:
+        seqs = [reads[i] for i in idxs]
+        codes = np.zeros((B, L), dtype=np.uint8)
+        lens = np.zeros(B, dtype=np.int32)
+        for b, s in enumerate(seqs):
+            arr = np.frombuffer(s, dtype=np.uint8)
+            codes[b, : len(arr)] = (arr >> 1) & 3
+            lens[b] = len(arr)
+        b4 = codes.reshape(B, L // 4, 4)
+        packed = (b4[..., 0] | (b4[..., 1] << 2) | (b4[..., 2] << 4)
+                  | (b4[..., 3] << 6))
         t0 = time.perf_counter()
-        fb = self._oracle_correct_many([seqs[b] for b in fallback], two_side)
-        fixed = dict(zip(fallback, fb))
-        percall.append((time.perf_counter() - t0, "oracle",
-                        L, len(fallback), "", None))
-    for b, s in enumerate(seqs):
-        results.append(fixed.get(b, a_np[b, : n_np[b]].tobytes()))
-    return results
+        a = jax.device_put(packed)
+        n = jax.device_put(lens)
+        np.asarray(jnp_sum(a))  # force the transfer
+        percall.append((time.perf_counter() - t0, "put", L, B, "", None))
+        cap_any = None
+        for d in ("fwd", "rev"):
+            if d == "rev":
+                a = tc._get_reverse(L, B)(a, n)
+            for strat in CHAIN:
+                fn = tc._get_pass2(strat, L, B)
+                t0 = time.perf_counter()
+                a, n, cap, aux = fn(tc.table, a, n)
+                aux_np = np.asarray(aux)
+                percall.append((time.perf_counter() - t0, strat, L, B, d,
+                                aux_np))
+                cap_any = cap if cap_any is None else (cap_any | cap)
+        a = tc._get_reverse(L, B)(a, n)
+        t0 = time.perf_counter()
+        a_np = np.asarray(a)
+        cap_np = np.asarray(cap_any)
+        percall.append((time.perf_counter() - t0, "get", L, B, "", None))
+        total_cap += int(cap_np[: len(idxs)].sum())
+    return total_cap
 
 
-Tpu2Corrector._correct_chunk = patched
+import jax.numpy as jnp
 
-tc.correct_batch(reads, two_side=False)  # warm
+
+def jnp_sum(x):
+    return jnp.sum(x.astype(jnp.int32))
+
+
+run_profiled("warm")
 percall.clear()
-n_fallback[0] = 0
 t0 = time.perf_counter()
-tc.correct_batch(reads, two_side=False)
+ncap = run_profiled("steady")
 total = time.perf_counter() - t0
-print(f"steady: {total:.2f}s  fallback_reads={n_fallback[0]}")
+print(f"steady (per-pass synced): {total:.2f}s  capped_reads={ncap}")
 percall.sort(key=lambda x: -x[0])
 for dt, what, L, B, d, aux in percall[:40]:
     extra = ""
@@ -98,3 +93,9 @@ for dt, what, L, B, d, aux in percall[:40]:
         extra = (f"sites={aux[0]} ovf={aux[1]} att={aux[2]} bnd={aux[3]} "
                  f"rnd={aux[4]} vis={aux[5]} rec={aux[6]} caplanes={aux[7]}")
     print(f"  {dt*1e3:9.1f} ms  {what:<8} L={L:>6} B={B:>4} {d:<3} {extra}")
+
+# and the production pipelined path, end to end
+for trial in range(3):
+    t0 = time.perf_counter()
+    out = tc.correct_batch(reads, two_side=False)
+    print(f"pipelined correct_batch: {time.perf_counter() - t0:.2f}s")
