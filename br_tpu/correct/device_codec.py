@@ -16,16 +16,19 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compile cache: the engine's pass programs are large; caching
-# them makes CLI cold-start and repeated benchmarks cheap.
-_cache_dir = os.environ.get(
-    "BR_TPU_JAX_CACHE", os.path.expanduser("~/.cache/br_tpu_jax"))
-try:
-    os.makedirs(_cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:  # pragma: no cover - cache is best-effort
-    pass
+# Persistent compile cache: OFF by default.  The jax build in this image
+# can deadlock inside the cache-write path (compilation_cache.py
+# combine_executable_and_time hangs on a futex), and v3 compiles are
+# cheap (one program per strategy, seconds each).  Opt back in with
+# BR_TPU_JAX_CACHE=/path.
+_cache_dir = os.environ.get("BR_TPU_JAX_CACHE")
+if _cache_dir:  # pragma: no cover - opt-in
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 import jax.numpy as jnp  # noqa: E402
 

@@ -1,50 +1,61 @@
 """The v3 TPU correction engine: flat-packed, u32-pure, one program per
 strategy.
 
-Third redesign of the batched corrector, driven by two r2 measurements:
+Third redesign of the batched corrector, driven by two r2/r3 findings:
 
 * **Compile wall** — the v2 bucketed engine compiles one program per
-  (strategy, length-bucket) pair; the corpus needs ~30 programs at
-  ~2-3 min each (XLA pathology: ANY u64 op in a module holding a
-  computed-operand gather inflates compile ~15x; see
-  scripts/compile_isolate*.py).  v3 packs every read of a chunk into ONE
-  flat position buffer with per-read (start, len) tables, so each
-  strategy is a single compiled program reused for every batch shape,
-  and all k-mer math is uint32 (requires 2k <= 32, i.e. k <= 15 — the
-  headline range; larger k falls back to the v2 engine).
+  (strategy, length-bucket, batch) triple; the corpus needs ~30 programs
+  (XLA pathology: ANY u64 op in a module holding a computed-operand
+  gather inflates compile time ~15x; see scripts/compile_isolate*.py).
+  v3 packs every read of a chunk into ONE flat position buffer with a
+  per-read (start, len) table, so each strategy is a single compiled
+  program reused for every batch, and all k-mer math is uint32.  The
+  u32 walk machinery needs a sentinel value above every real k-mer, so
+  v3 requires 2k <= 30, i.e. k <= 15 (the headline range); larger k
+  falls back to the v2 engine.
 * **Pad waste** — 2x length buckets waste ~25-50% of every chunk; flat
   packing wastes only the per-read splice slack (~12%).
 
 Structure per pass (one strategy, one direction, ONE jitted program):
 
-1. **Dense precompute** — codes, rolling u32 k-mers, validity bitmap V
-   gated by per-position read bounds (``rstart``/``rend`` dense tables,
-   built once per chunk by the prep program), transition bitmap T.
-2. **Site compaction** — cumsum + branchless binary search, as v2.
-3. **Block-adaptive attempts** — sites are processed in BLK-lane blocks
-   inside a ``while_loop`` whose trip count is ``ceil(n_sites/BLK)``:
-   per-pass attempt cost scales with the ACTUAL site count instead of
-   the static capacity (v2 paid the full NS width every pass).
-4. **Dirty-window queue** — repairs spawn dirty re-attempts; these go to
-   a queue drained in blocks by a second while_loop (replaces v2's
-   3-phase round ladder; same records, simpler bounds).
-5. **Whole-read chain walk** — pointer-doubling over the site-successor
-   graph from read heads.  v2's mid-read resync boundaries (and their
-   runtime crossing guard) are gone: log2(NS) doubling rounds cover any
-   chain length, so boundaries bought nothing but three dense
-   cumulative ops and a soundness edge.
-6. **Splice** — segment ids via one scatter+cummax (phase-encoded
-   record marks), then two flat gathers (per-segment struct, source
-   codes) + one for long emits.
+1. **Dense precompute** — 2-bit codes, rolling u32 k-mers, per-position
+   read-id table (scatter + cummax), validity bitmap V (one bitfield
+   gather per position) gated by per-read bounds, transition bitmap T,
+   next-valid/next-transition jump tables (flat reverse-cummin; every
+   consumer bound-checks against its read end, so reads never leak into
+   each other).
+2. **Site-block queue** — attempt sites (rank r extracted on demand via
+   binary search over cumsum(T)) and nested dirty re-attempts are
+   processed in BLK-lane blocks inside one ``while_loop`` whose trip
+   count scales with the ACTUAL work (ceil(items/BLK)), not a static
+   capacity.  Each block: the exactly-one-alternative gate, the
+   strategy attempt (scenario tables are straight-line vector code; the
+   de Bruijn walks are two-tier while_loops whose trip count is the max
+   walk length), the post-repair dirty-window simulation (k unrolled
+   probes), and record/successor writes.  New pending items append to
+   the queue.
+3. **Whole-read chain walk** — which sites the scan machine actually
+   visits is decided by a gather-only pointer-doubling descent over the
+   site-successor graph from each read's head site (successor site ids
+   are recovered in O(1) from cumsum(T), no sort).  v2's mid-read
+   resync boundaries and their runtime crossing guard are gone.
+4. **Splice** — global segment ids via boundary scatter + one cummax
+   (segment indices are position-ordered by construction), then the
+   output is assembled with one gather from a per-segment base table
+   and one gather from the input codes / record emit words.
 
-Reference semantics: the scan machine of src/correct/mod.rs:53-107 with
-the strategy ladder of src/correct/ (see br_tpu.correct.reference for
-the full restatement).  Every engineered bound raises a per-read ``cap``
-flag; capped reads are re-corrected exactly on the host (native C++
-engine), so output is always bit-exact vs the reference semantics.
+Reference semantics: the scan machine of
+/root/reference/src/correct/mod.rs:53-107 with the strategy ladder of
+src/correct/ (see br_tpu.correct.reference for the full restatement).
+Every engineered bound (site/queue/record/walk capacity) raises a
+per-read ``cap`` flag; capped reads are re-corrected exactly on the
+host (native C++ engine), so output is always bit-exact vs the
+reference semantics.
 """
 
 from __future__ import annotations
+
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -54,31 +65,42 @@ from br_tpu.correct import device_codec as dc
 
 I32 = jnp.int32
 U32 = jnp.uint32
-I8 = jnp.int8
+U8 = jnp.uint8
 
 #: de Bruijn walk cap (engine.py MAX_WALK parity).
 WALK_MAX = 248
 #: 2-bit bases per u32 emit word.
 BPW = 16
-#: emit words per record: WALK_MAX+1 bases.
-EW = (WALK_MAX + 1 + BPW - 1) // BPW
+#: emit words per walk record: WALK_MAX+1 bases.
+EW_WALK = (WALK_MAX + 1 + BPW - 1) // BPW
 #: tier-1 walk ring (full history; see engine2 T1_STEPS discussion).
 RING = 32
+#: tier-1 walk step budget: <= RING-2, so the tier-1 ring holds the FULL
+#: visited history (exact revisit detection, graph.rs:71-75).
 T1_STEPS = 30
 #: tier-2 walk history width (start + up to WALK_MAX visited k-mers).
 NH2 = 256
+#: tier-2 walk lane capacity per block.
+NW2 = 256
 #: chain records per site (applied repairs in one dirty chain).
 SLOTS = 8
-#: site-block width for the adaptive attempt loops.
-BLK = 4096
+#: site-block width for the adaptive queue loop.
+BLK = 2048
 
 BIG = np.int32(1 << 30)
 NEG_INF = np.int32(-(1 << 20))
+#: u32 sentinel for walk histories; above every k-mer because k <= 15.
+SENT32 = np.uint32(0xFFFFFFFF)
 
 # traceback layer codes (greedy DP)
 OP_MATCH, OP_SUBST, OP_DEL, OP_INS, TB_START = 0, 1, 2, 3, 4
 
+# walk / queue status codes
 RUN, ACCEPT, DECLINE, CAP = 0, 1, 2, 3
+DONE_PURE, DONE_END, PENDING = 0, 1, 2
+
+# per-site cap reason codes (aux diagnostics)
+CAP_OVERFLOW, CAP_ATTEMPT, CAP_ROUNDS = 1, 2, 4
 
 
 def _u(x):
@@ -90,8 +112,15 @@ def _mask(k: int):
 
 
 def add_nuc32(kmer, code, k: int):
-    """Rolling k-mer update in uint32 (2k <= 32)."""
+    """Rolling k-mer update in uint32 (2k <= 30)."""
     return ((kmer << _u(2)) & _mask(k)) ^ code.astype(U32)
+
+
+def _check_k(k: int):
+    if not (1 <= k <= 15):
+        raise ValueError(
+            f"engine3 requires k <= 15 (u32 k-mers plus a sentinel bit "
+            f"above mask(k)); got k={k}.  Use the v2 engine for larger k.")
 
 
 def _code_at(codes, idx):
@@ -115,7 +144,7 @@ def _compact(mask, fields, cap: int, fill=0, with_src: bool = False):
 
     Returns (compacted fields, slot-valid mask, overflow mask over the
     ORIGINAL axis[, source indices])."""
-    cum = jnp.cumsum(mask.astype(I32))
+    cum = jnp.cumsum(mask.astype(I32), dtype=I32)
     total = cum[-1]
     src = _lower_bound(cum, jnp.arange(1, cap + 1, dtype=I32))
     srcc = jnp.clip(src, 0, mask.shape[0] - 1)
@@ -131,20 +160,24 @@ def _compact(mask, fields, cap: int, fill=0, with_src: bool = False):
     return out, ok, overflow
 
 
-class AttemptOut3(tuple):
-    """(ok, new_kmer u32, consumed i32, emit (N, nw) u32, cnt i32, cap)"""
+def _rcummin(a):
+    return jnp.flip(jax.lax.cummin(jnp.flip(a, -1), axis=a.ndim - 1), -1)
 
-    __slots__ = ()
 
-    def __new__(cls, ok, new_kmer, consumed, emit, cnt, cap):
-        return tuple.__new__(cls, (ok, new_kmer, consumed, emit, cnt, cap))
+class AttemptOut3(NamedTuple):
+    """Per-site attempt result (u32 k-mers / emit words)."""
 
-    ok = property(lambda s: s[0])
-    new_kmer = property(lambda s: s[1])
-    consumed = property(lambda s: s[2])
-    emit = property(lambda s: s[3])
-    cnt = property(lambda s: s[4])
-    cap = property(lambda s: s[5])
+    ok: jax.Array        # correction applies
+    new_kmer: jax.Array  # u32 register after replaying emitted bases
+    consumed: jax.Array  # i32 input positions to skip
+    emit: jax.Array      # (EW,) u32 words, 16 2-bit bases each, LSB-first
+    cnt: jax.Array       # i32 emitted base count
+    cap: jax.Array       # engineered bound hit -> host oracle fallback
+
+
+def emit_words(strategy: str) -> int:
+    return {"one": 1, "two": 1, "greedy": 1,
+            "graph": EW_WALK, "gap-size": EW_WALK}[strategy]
 
 
 # ---------------------------------------------------------------------------
@@ -159,8 +192,8 @@ def _alt_info32(probe, kmer):
     base = (kmer >> _u(2)) << _u(2)
     cands = base ^ jnp.arange(4, dtype=U32)
     ok = probe(cands)
-    n = jnp.sum(ok.astype(I32))
-    alt = jnp.sum(jnp.arange(4, dtype=U32) * ok.astype(U32))
+    n = jnp.sum(ok.astype(I32), dtype=I32)
+    alt = jnp.sum(jnp.arange(4, dtype=U32) * ok.astype(U32), dtype=U32)
     return n, base ^ alt
 
 
@@ -188,13 +221,13 @@ def make_one_attempt32(probe, codes, k: int, c: int):
 
         keep = jnp.stack(keep)          # D(0), S(1), I(2)
         one_more = jnp.stack(one_more)
-        nk = jnp.sum(keep.astype(I32))
+        nk = jnp.sum(keep.astype(I32), dtype=I32)
         keep2 = keep & one_more
-        nk2 = jnp.sum(keep2.astype(I32))
+        nk2 = jnp.sum(keep2.astype(I32), dtype=I32)
 
         sel = jnp.where(nk == 1, keep, keep2)
         ok = (nalts == 1) & ((nk == 1) | ((nk > 1) & (nk2 == 1)))
-        offset = jnp.sum(jnp.arange(3, dtype=I32) * sel.astype(I32))
+        offset = jnp.sum(jnp.arange(3, dtype=I32) * sel.astype(I32), dtype=I32)
 
         emit = jnp.zeros(1, dtype=U32).at[0].set(corr & _u(3))
         return AttemptOut3(ok, corr, offset, emit, jnp.int32(1),
@@ -218,8 +251,8 @@ def make_two_attempt32(probe, codes, k: int, c: int):
             cands = jnp.stack([add_nuc32(km, jnp.uint8(a), k)
                                for a in range(4)])
             okv = probe(cands)
-            n = jnp.sum(okv.astype(I32))
-            alt = jnp.sum(jnp.arange(4, dtype=U32) * okv.astype(U32))
+            n = jnp.sum(okv.astype(I32), dtype=I32)
+            alt = jnp.sum(jnp.arange(4, dtype=U32) * okv.astype(U32), dtype=U32)
             return n == 1, add_nuc32(km, alt.astype(jnp.uint8), k)
 
         def alt_last(km):
@@ -282,7 +315,7 @@ def make_two_attempt32(probe, codes, k: int, c: int):
         }
 
         keeps, one_mores = [], []
-        emit_words, emit_cnts, new_kmers, offs_c = [], [], [], []
+        emit_word_l, emit_cnts, new_kmers, offs_c = [], [], [], []
         for s, name in enumerate(NAMES):
             a_ok, km2 = scen[name]
             off_a = APPLY_OFF[s]
@@ -298,7 +331,7 @@ def make_two_attempt32(probe, codes, k: int, c: int):
             ew = jnp.zeros((), dtype=U32)
             for t, b in enumerate(bases):
                 ew = ew | (b << _u(2 * t))
-            emit_words.append(ew)
+            emit_word_l.append(ew)
             emit_cnts.append(len(bases))
             offs_c.append(off_c)
 
@@ -316,18 +349,18 @@ def make_two_attempt32(probe, codes, k: int, c: int):
 
         keep = jnp.stack(keeps)
         one_more = jnp.stack(one_mores)
-        nk1 = jnp.sum(keep.astype(I32))
+        nk1 = jnp.sum(keep.astype(I32), dtype=I32)
         keep2 = keep & one_more
-        nk2 = jnp.sum(keep2.astype(I32))
+        nk2 = jnp.sum(keep2.astype(I32), dtype=I32)
         sel = jnp.where(nk1 == 1, keep, keep2)
         ok = (nalts == 1) & ((nk1 == 1) | ((nk1 > 1) & (nk2 == 1)))
 
         selI = sel.astype(I32)
         selU = sel.astype(U32)
-        consumed = jnp.sum(jnp.array(offs_c, dtype=I32) * selI)
-        cnt = jnp.sum(jnp.array(emit_cnts, dtype=I32) * selI)
-        emit0 = jnp.sum(jnp.stack(emit_words) * selU)
-        new_kmer = jnp.sum(jnp.stack(new_kmers) * selU)
+        consumed = jnp.sum(jnp.array(offs_c, dtype=I32) * selI, dtype=I32)
+        cnt = jnp.sum(jnp.array(emit_cnts, dtype=I32) * selI, dtype=I32)
+        emit0 = jnp.sum(jnp.stack(emit_word_l) * selU, dtype=U32)
+        new_kmer = jnp.sum(jnp.stack(new_kmers) * selU, dtype=U32)
 
         emit = jnp.zeros(1, dtype=U32).at[0].set(emit0)
         return AttemptOut3(ok, new_kmer, consumed, emit, cnt,
@@ -339,7 +372,7 @@ def make_two_attempt32(probe, codes, k: int, c: int):
 def make_greedy_attempt32(probe, codes, k: int, ms: int, nb: int):
     """Greedy strategy (greedy.rs:129-173): engine.make_greedy_attempt in
     uint32, code-domain alignment (the driver routes non-pure-ACGT reads
-    to the host oracle, where the byte domain matters)."""
+    to the host oracle, where rust-bio's byte domain matters)."""
     if ms + 1 > BPW:
         raise ValueError("greedy max_search too large for one emit word")
 
@@ -367,8 +400,8 @@ def make_greedy_attempt32(probe, codes, k: int, ms: int, nb: int):
             cands = jnp.stack([add_nuc32(wks[s], jnp.uint8(a), k)
                                for a in range(4)])
             okv = probe(cands)
-            ns = jnp.sum(okv.astype(I32))
-            sa = jnp.sum(jnp.arange(4, dtype=U32) * okv.astype(U32))
+            ns = jnp.sum(okv.astype(I32), dtype=I32)
+            sa = jnp.sum(jnp.arange(4, dtype=U32) * okv.astype(U32), dtype=U32)
             nxt = add_nuc32(wks[s], sa.astype(jnp.uint8), k)
             branch_fail = ns != 1
             wk_next = jnp.where(branch_fail, wks[s], nxt)
@@ -498,14 +531,15 @@ def make_greedy_attempt32(probe, codes, k: int, ms: int, nb: int):
         pair = is_m & nxt_m & (w >= bl) & (w + 1 <= nops[:, None] - 1)
         first_w = jnp.min(jnp.where(pair, w, T + 1), axis=1)
         exists = jnp.any(pair, axis=1)
-        offset = jnp.sum(contrib * ((w >= bl) & (w < first_w[:, None])), 1)
+        offset = jnp.sum(contrib * ((w >= bl) & (w < first_w[:, None])), 1,
+                         dtype=I32)
         rev_ind = (ops_rev == OP_INS) | (ops_rev == OP_DEL)
         rev_in = jnp.arange(T)[None, :] < nops[:, None]
         pref_ind = jnp.cumprod(
             rev_ind | ~rev_in, axis=1).astype(bool) & rev_in
         rev_contrib = jnp.where(ops_rev == OP_INS, 1,
                                 jnp.where(ops_rev == OP_DEL, -1, 0))
-        offset_corr = jnp.sum(rev_contrib * pref_ind, axis=1)
+        offset_corr = jnp.sum(rev_contrib * pref_ind, axis=1, dtype=I32)
         off_align = offset - offset_corr
 
         checks = []
@@ -525,9 +559,9 @@ def make_greedy_attempt32(probe, codes, k: int, ms: int, nb: int):
         sel = (its == first_ev) & acc
         ok = (nalts == 1) & jnp.any(sel)
 
-        it_sel = jnp.sum(its * sel.astype(I32))
+        it_sel = jnp.sum(its * sel.astype(I32), dtype=I32)
         cnt = it_sel + 2
-        offs = jnp.sum(off_align * sel.astype(I32))
+        offs = jnp.sum(off_align * sel.astype(I32), dtype=I32)
         raw_consumed = cnt + offs
         consumed = jnp.maximum(raw_consumed, 0)
         cap = ok & (raw_consumed < 0)
@@ -538,9 +572,866 @@ def make_greedy_attempt32(probe, codes, k: int, ms: int, nb: int):
 
         emit = jnp.zeros((), dtype=U32)
         for t in range(ms + 1):
-            emit = emit | jnp.where(t < cnt, path[t].astype(U32) << _u(2 * t),
+            emit = emit | jnp.where(t < cnt,
+                                    path[t].astype(U32) << _u(2 * t),
                                     _u(0))
         return AttemptOut3(ok, new_kmer, consumed,
                            jnp.zeros(1, U32).at[0].set(emit), cnt, cap)
 
     return attempt
+
+
+# ---------------------------------------------------------------------------
+# Unique-successor de Bruijn walk, array-level and two-tier (u32 port of
+# engine2._walk_phase/_tiered_walk; semantics graph.rs:44-85).
+# ---------------------------------------------------------------------------
+
+
+def _alt_info32_arr(probe, kmer):
+    """Array form of the 'exactly one alternative' gate; kmer (N,) u32."""
+    base = (kmer >> _u(2)) << _u(2)
+    cands = base[None, :] ^ jnp.arange(4, dtype=U32)[:, None]
+    ok = probe(cands)
+    n = jnp.sum(ok.astype(I32), axis=0, dtype=I32)
+    alt = jnp.sum(jnp.arange(4, dtype=U32)[:, None] * ok.astype(U32),
+                  axis=0, dtype=U32)
+    return n, base ^ alt
+
+
+def _walk_active(wk, n, status, use_fc, max_steps, phase_cap: int):
+    return (status == RUN) & (use_fc | ((n - 1) < max_steps)) & \
+        (n <= phase_cap)
+
+
+def _walk_phase32(probe, k: int, state, use_fc, max_steps, first_correct,
+                  phase_cap: int, nh: int):
+    """Advance the walk until every lane freezes (array-level while_loop).
+
+    state = (wk, n, buf, status, hist); hist[:, j] = register after step j
+    (slot 0 = start k-mer), so `revisit` is exact.  ``use_fc`` per-lane
+    selects graph mode (accept on reaching ``first_correct``) vs fill
+    mode (walk exactly ``max_steps``).  CAP outranks ACCEPT at the
+    WALK_MAX step."""
+    wcols = jnp.arange(EW_WALK, dtype=I32)[None, :]
+    hcols = jnp.arange(nh, dtype=I32)[None, :]
+
+    def cond(st):
+        wk, n, buf, status, hist = st
+        return jnp.any(_walk_active(wk, n, status, use_fc, max_steps,
+                                    phase_cap))
+
+    def body(st):
+        wk, n, buf, status, hist = st
+        act = _walk_active(wk, n, status, use_fc, max_steps, phase_cap)
+        cands = jnp.stack([add_nuc32(wk, jnp.uint8(a), k) for a in range(4)])
+        okv = probe(cands)
+        ns = jnp.sum(okv.astype(I32), axis=0, dtype=I32)
+        sa = jnp.sum(jnp.arange(4, dtype=U32)[:, None] * okv.astype(U32),
+                     axis=0, dtype=U32)
+        wk2 = add_nuc32(wk, sa.astype(jnp.uint8), k)
+        branch_fail = ns != 1
+        revisit = jnp.any(hist == wk2[:, None], axis=1)
+        accept = use_fc & (wk2 == first_correct)
+        capped = n >= WALK_MAX
+
+        wi = n // BPW
+        sh = ((n % BPW) * 2).astype(U32)
+        bupd = (wcols == wi[:, None]) & act[:, None]
+        buf = jnp.where(bupd, buf | (sa[:, None] << sh[:, None]), buf)
+        hupd = (hcols == jnp.minimum(n, nh - 1)[:, None]) & act[:, None]
+        hist = jnp.where(hupd, wk2[:, None], hist)
+        st2 = jnp.where(
+            branch_fail | revisit, DECLINE,
+            jnp.where(capped, CAP, jnp.where(accept, ACCEPT, RUN)))
+        status = jnp.where(act, st2.astype(I32), status)
+        wk = jnp.where(act, wk2, wk)
+        n = jnp.where(act, n + 1, n)
+        return (wk, n, buf, status, hist)
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+def _tiered_walk32(probe, k: int, corr, alt_code, first_correct, use_fc,
+                   max_steps, enabled):
+    """Full walk over N lanes: tier 1 (all lanes, <= T1_STEPS, full RING
+    history) then tier 2 (<= NW2 surviving lanes, <= WALK_MAX, full NH2
+    history).  Returns (ok, cap, buf, n, wk)."""
+    N = corr.shape[0]
+    buf0 = jnp.zeros((N, EW_WALK), U32).at[:, 0].set(alt_code.astype(U32))
+    hist0 = jnp.full((N, RING), SENT32).at[:, 0].set(corr)
+    status0 = jnp.where(enabled, RUN, DECLINE).astype(I32)
+    st = (corr, jnp.ones(N, I32), buf0, status0, hist0)
+    wk, n, buf, status, hist = _walk_phase32(
+        probe, k, st, use_fc, max_steps, first_correct, T1_STEPS, RING)
+
+    pend = _walk_active(wk, n, status, use_fc, max_steps, WALK_MAX)
+    (c_wk, c_n, c_buf, c_hist, c_fc, c_ufc, c_ms, c_src), c_ok, over, _ = \
+        _compact(pend, (wk, n, buf, hist, first_correct, use_fc, max_steps,
+                        jnp.arange(N, dtype=I32)), NW2, with_src=True)
+    status = jnp.where(over, CAP, status)
+
+    hist2 = jnp.full((NW2, NH2), SENT32).at[:, :RING].set(c_hist)
+    st2 = (c_wk, c_n, c_buf,
+           jnp.where(c_ok, RUN, DECLINE).astype(I32), hist2)
+    wk2, n2a, buf2, status2, _h = _walk_phase32(
+        probe, k, st2, c_ufc, c_ms, c_fc, WALK_MAX, NH2)
+
+    idx = jnp.where(c_ok, c_src, N)  # OOB rows dropped by scatter
+    wk = wk.at[idx].set(wk2, mode="drop")
+    n = n.at[idx].set(n2a, mode="drop")
+    buf = buf.at[idx].set(buf2, mode="drop")
+    status = status.at[idx].set(status2, mode="drop")
+
+    ok = jnp.where(use_fc, status == ACCEPT, status == RUN)
+    return ok, status == CAP, buf, n, wk
+
+
+def make_graph_attempt32_arr(probe, codes, k: int, err_fn):
+    """Graph strategy (graph.rs:44-85) over arrays of sites."""
+
+    def attempt(i, kmer, length, enabled):
+        err_len, fc = err_fn(i, kmer, length)
+        nalts, corr = _alt_info32_arr(probe, kmer)
+        alt_code = corr & _u(3)
+        ok_w, cap, buf, n, wk = _tiered_walk32(
+            probe, k, corr, alt_code, fc,
+            jnp.ones(i.shape, bool), jnp.full(i.shape, WALK_MAX, I32),
+            enabled & (nalts == 1))
+        ok = (nalts == 1) & ok_w
+        return AttemptOut3(ok, wk, err_len + 1, buf, n,
+                           enabled & (nalts == 1) & cap)
+
+    return attempt
+
+
+def make_gap_attempt32_arr(probe, codes, k: int, c: int, err_fn):
+    """GapSize dispatch (gap_size.rs:97-108) over arrays of sites."""
+    one = make_one_attempt32(probe, codes, k, c)
+    one_v = jax.vmap(one)
+
+    def attempt(i, kmer, length, enabled):
+        err_len, fc = err_fn(i, kmer, length)
+        nalts, corr = _alt_info32_arr(probe, kmer)
+        alt_code = corr & _u(3)
+
+        is_graph = err_len < k
+        gap = jnp.maximum(err_len - k, 0)
+        is_one = err_len == k
+        is_fill = err_len > k
+        # one walk serves both graph mode and fill mode (per-lane select)
+        ok_w, cap_w, buf, n, wk = _tiered_walk32(
+            probe, k, corr, alt_code, fc, is_graph, gap,
+            enabled & (is_graph | is_fill) & (nalts == 1))
+        o = one_v(i, kmer, length)
+
+        ok = jnp.where(is_one, o.ok, (nalts == 1) & ok_w)
+        cap_hit = enabled & ~is_one & (nalts == 1) & cap_w
+        new_kmer = jnp.where(is_one, o.new_kmer, wk)
+        consumed = jnp.where(is_graph, err_len + 1,
+                             jnp.where(is_one, o.consumed, n))
+        cnt = jnp.where(is_one, o.cnt, n)
+        emitz = jnp.zeros_like(buf).at[:, 0].set(o.emit[:, 0])
+        emit = jnp.where(is_one[:, None], emitz, buf)
+        return AttemptOut3(ok, new_kmer, consumed, emit, cnt, cap_hit)
+
+    return attempt
+
+
+# ---------------------------------------------------------------------------
+# The pass builder.
+# ---------------------------------------------------------------------------
+
+
+def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
+                  CHUNK: int, R: int, _debug: bool = False):
+    """One jitted (table, packed (CHUNK//4,) u8, rstart (R,) i32,
+    rlen (R,) i32) -> (out packed, out_lens (R,) i32, cap (R,) bool,
+    aux (8,) i32).
+
+    Reads live in contiguous slots [rstart[r], rstart[r]+slotcap) of one
+    flat 2-bit-packed position buffer; unused slots have rstart = CHUNK,
+    rlen = 0.  Slot capacities are implied: slotcap[r] = rstart[r+1] -
+    rstart[r] (last: CHUNK - rstart).  aux = (sites, cap-overflow,
+    cap-attempt, cap-rounds, visited sites, applied records, capped
+    reads, raw site count)."""
+    _check_k(k)
+    assert CHUNK % 4 == 0 and R >= 1
+    EW = emit_words(strategy)
+    NS = max(BLK, CHUNK // 32)       # site-id capacity
+    NQA = NS                         # dirty re-attempt queue capacity
+    NR = NS                          # compacted (visited) record capacity
+    NSEG = 2 * NR + R + 1            # segment table (+1 drop slot)
+    # queue-generation guard: full blocks plus slack for small tail
+    # generations (nested repair chains); leftovers cap -> oracle.
+    MAXB = (NS + NQA) // BLK + 64
+    LV = NS.bit_length()             # pointer-doubling levels
+
+    def passfn(table, packed_in, rstart, rlen):
+        probe = dc.make_solid_probe_any(table, k)
+
+        # ---------------- 1. dense precompute --------------------------
+        codes = dc.unpack_codes(packed_in, CHUNK)        # (CHUNK,) u8
+        kmers = dc.rolling_kmers32(codes, k)             # (CHUNK,) u32
+        pos = jnp.arange(CHUNK, dtype=I32)
+
+        rid0 = jnp.zeros(CHUNK, I32).at[rstart].max(
+            jnp.arange(R, dtype=I32), mode="drop")
+        rid = jax.lax.cummax(rid0)                       # read id per pos
+        start_of = rstart[rid]
+        len_of = rlen[rid]
+        pin = pos - start_of
+        endf_of = start_of + len_of                      # flat read end
+
+        V = probe(kmers) & (pin >= k - 1) & (pin < len_of)
+        Vprev = jnp.pad(V[:-1], (1, 0))
+        T = Vprev & ~V & (pin >= k) & (pin < len_of)
+
+        cumT = jnp.cumsum(T.astype(I32), dtype=I32)
+        n_sites = cumT[-1]
+        n_eff = jnp.minimum(n_sites, NS)
+        nv = _rcummin(jnp.where(V, pos, BIG))            # next valid >= p
+        nt = _rcummin(jnp.where(T, pos, BIG))            # next transition
+
+        rend = rstart + rlen
+        # reads whose sites were dropped by the NS cap
+        cumT_s = jnp.where(rstart > 0,
+                           cumT[jnp.clip(rstart - 1, 0, CHUNK - 1)], 0)
+        cumT_e = cumT[jnp.clip(rend - 1, 0, CHUNK - 1)]
+        cap_read = (rlen > 0) & (cumT_e > jnp.maximum(cumT_s, NS))
+
+        # ---------------- attempt machinery ----------------------------
+        def err_fn(i, kmer, length):
+            """Exact error_len (mod.rs:130-152) for any register in O(k):
+            absorb at most k explicit steps (after k absorbs the register
+            provably equals the rolling table k-mer), then jump to the
+            next valid position via the nv table."""
+            rem = length - i
+            km = kmer
+            j = jnp.zeros_like(i)
+            done = jnp.zeros(i.shape, bool)
+            for j2 in range(1, k + 1):
+                at_end = jnp.int32(j2) >= rem
+                step = ~done
+                adv = step & ~at_end
+                km2 = jnp.where(
+                    adv,
+                    add_nuc32(km,
+                              _code_at(codes, jnp.clip(i + j2, 0,
+                                                       CHUNK - 1)), k), km)
+                f = adv & probe(km2)
+                j = jnp.where(step, jnp.int32(j2), j)
+                km = km2
+                done = done | (step & (at_end | f))
+            q = nv[jnp.clip(i + k + 1, 0, CHUNK - 1)]
+            okq = (i + k + 1 < CHUNK) & (q < length)
+            j_jump = jnp.where(okq, q - i, rem)
+            end_idx = jnp.where(okq, q,
+                                jnp.where(rem >= 2, i + rem - 1, i))
+            km_jump = kmers[jnp.clip(end_idx, 0, CHUNK - 1)]
+            j = jnp.where(done, j, j_jump)
+            km = jnp.where(done, km, km_jump)
+            return j, km
+
+        if strategy == "one":
+            att_v = jax.vmap(make_one_attempt32(probe, codes, k, c))
+
+            def attempt_block(i, reg, lenf, enabled):
+                return att_v(i, reg, lenf)
+        elif strategy == "two":
+            att_v = jax.vmap(make_two_attempt32(probe, codes, k, c))
+
+            def attempt_block(i, reg, lenf, enabled):
+                return att_v(i, reg, lenf)
+        elif strategy == "greedy":
+            att_v = jax.vmap(make_greedy_attempt32(probe, codes, k, ms, nb))
+
+            def attempt_block(i, reg, lenf, enabled):
+                return att_v(i, reg, lenf)
+        elif strategy == "graph":
+            attempt_block = make_graph_attempt32_arr(probe, codes, k, err_fn)
+        elif strategy == "gap-size":
+            attempt_block = make_gap_attempt32_arr(probe, codes, k, c,
+                                                   err_fn)
+        else:
+            raise ValueError(strategy)
+
+        def dirty_sim(i0, reg0, prev0, t0, lenf):
+            """Absorb until k steps since the last applied repair
+            (engine2.dirty_sim without resync boundaries).  Returns
+            (state, i, reg, t): DONE_PURE / DONE_END / PENDING; for
+            PENDING (i, reg, t) is the nested attempt site."""
+            i, reg, prev, t = i0, reg0, prev0, t0
+            state = jnp.full(jnp.shape(i0), -1, dtype=I32)  # -1 = running
+            for _ in range(k):
+                running = state < 0
+                step_on = running & (t < k)
+                state = jnp.where(running & ~step_on, DONE_PURE, state)
+                end_read = i >= lenf
+                state = jnp.where(step_on & end_read, DONE_END, state)
+                act = step_on & ~end_read
+                reg_n = add_nuc32(reg, _code_at(codes, i), k)
+                v = probe(reg_n)
+                nested = act & ~v & prev
+                state = jnp.where(nested, PENDING, state)
+                adv = act & ~nested
+                reg = jnp.where(act, reg_n, reg)
+                prev = jnp.where(adv, v, prev)
+                i = jnp.where(adv, i + 1, i)
+                t = jnp.where(adv, t + 1, t)
+            state = jnp.where(state < 0, DONE_PURE, state)
+            t = jnp.where(state == PENDING, t + 1, t)
+            return state, i, reg, t
+
+        # ---------------- 2. site-block queue ---------------------------
+        def queue_body(st):
+            (head, iterc, napp, succ_pos, s_cap, s_pos, rp, rc, rs, re,
+             app_sid, app_i, app_reg, app_t, app_slot) = st
+            total = n_eff + napp
+
+            q = head + jnp.arange(BLK, dtype=I32)
+            act = q < total
+            from_site = act & (q < n_eff)
+            posA = jnp.clip(_lower_bound(cumT, q + 1), 0, CHUNK - 1)
+            ai = jnp.clip(q - n_eff, 0, NQA - 1)
+
+            sid = jnp.where(from_site, q, app_sid[ai])
+            i_cur = jnp.where(from_site, posA, app_i[ai])
+            reg = jnp.where(from_site, kmers[posA], app_reg[ai])
+            t = jnp.where(from_site, k, app_t[ai])
+            slot = jnp.where(from_site, 0, app_slot[ai])
+            i_cur = jnp.clip(i_cur, 0, CHUNK - 1)
+            lenf = endf_of[i_cur]
+            sidc = jnp.clip(sid, 0, NS - 1)
+
+            s_pos = s_pos.at[jnp.where(from_site, sidc, NS)].min(
+                posA, mode="drop")
+
+            # gate: exactly-one-alternative (shared by every strategy)
+            nalts, _corr = _alt_info32_arr(probe, reg)
+            gate = act & (nalts == 1)
+
+            res = attempt_block(i_cur, reg, lenf, gate)
+            applied = gate & res.ok & ~res.cap
+            att_cap = gate & res.cap
+
+            # records
+            widx = jnp.where(applied & (slot < SLOTS),
+                             sidc * SLOTS + jnp.clip(slot, 0, SLOTS - 1),
+                             NS * SLOTS)
+            rp = rp.at[widx].min(i_cur, mode="drop")
+            rc = rc.at[widx].max(res.cnt.astype(I32), mode="drop")
+            rs = rs.at[widx].max(res.consumed.astype(I32), mode="drop")
+            re = re.at[widx].max(res.emit, mode="drop")
+            slot_over = applied & (slot >= SLOTS)
+
+            # merged post-state simulation (applied and failed lanes)
+            sim_i = jnp.where(applied, i_cur + res.consumed.astype(I32),
+                              i_cur + 1)
+            sim_reg = jnp.where(applied, res.new_kmer, reg)
+            sim_t = jnp.where(applied, 0, t)
+            state, i_n, reg_n, t_n = dirty_sim(
+                sim_i, sim_reg, applied, sim_t, lenf)
+            bad = att_cap | slot_over
+
+            # successor (resolved chains)
+            done_pure = act & ~bad & (state == DONE_PURE)
+            sp = nt[jnp.clip(i_n, 0, CHUNK - 1)]
+            sp_ok = done_pure & (i_n < CHUNK) & (sp < lenf)
+            succ_pos = succ_pos.at[sidc].min(
+                jnp.where(sp_ok, sp, BIG))
+
+            # cap reasons
+            cap_code = jnp.maximum(jnp.where(att_cap, CAP_ATTEMPT, 0),
+                                   jnp.where(slot_over, CAP_OVERFLOW, 0))
+            s_cap = s_cap.at[sidc].max(jnp.where(act, cap_code, 0))
+
+            # pending continuations -> append to the queue
+            pend = act & ~bad & (state == PENDING)
+            slot_n = slot + applied.astype(I32)
+            (cf, okm, _over) = _compact(
+                pend, (sid, i_n, reg_n, t_n, slot_n), BLK)
+            (p_sid, p_i, p_reg, p_t, p_slot) = cf
+            npend = jnp.sum(pend.astype(I32), dtype=I32)
+            over_q = okm & (napp + jnp.arange(BLK, dtype=I32) >= NQA)
+            s_cap = s_cap.at[jnp.clip(p_sid, 0, NS - 1)].max(
+                jnp.where(over_q, CAP_OVERFLOW, 0))
+            wat = (jnp.minimum(napp, NQA),)
+            app_sid = jax.lax.dynamic_update_slice(app_sid, p_sid, wat)
+            app_i = jax.lax.dynamic_update_slice(app_i, p_i, wat)
+            app_reg = jax.lax.dynamic_update_slice(app_reg, p_reg, wat)
+            app_t = jax.lax.dynamic_update_slice(app_t, p_t, wat)
+            app_slot = jax.lax.dynamic_update_slice(app_slot, p_slot, wat)
+            napp = jnp.minimum(napp + npend, NQA)
+
+            # the block covered queue positions [head, min(head+BLK,
+            # total)); same-iteration appends land at >= total and are
+            # picked up by the next iteration.
+            return (jnp.minimum(head + BLK, total), iterc + 1, napp,
+                    succ_pos, s_cap, s_pos, rp, rc, rs, re,
+                    app_sid, app_i, app_reg, app_t, app_slot)
+
+        def queue_cond(st):
+            head, iterc, napp = st[0], st[1], st[2]
+            return (head < n_eff + napp) & (iterc < MAXB)
+
+        st0 = (jnp.int32(0), jnp.int32(0), jnp.int32(0),
+               jnp.full(NS, BIG, I32),                   # succ_pos
+               jnp.zeros(NS, I32),                       # s_cap
+               jnp.full(NS, BIG, I32),                   # s_pos
+               jnp.full(NS * SLOTS, BIG, I32),           # rp
+               jnp.zeros(NS * SLOTS, I32),               # rc
+               jnp.zeros(NS * SLOTS, I32),               # rs
+               jnp.zeros((NS * SLOTS, EW), U32),         # re
+               jnp.zeros(NQA + BLK, I32),                # app_sid
+               jnp.zeros(NQA + BLK, I32),                # app_i
+               jnp.zeros(NQA + BLK, U32),                # app_reg
+               jnp.zeros(NQA + BLK, I32),                # app_t
+               jnp.zeros(NQA + BLK, I32))                # app_slot
+        st = jax.lax.while_loop(queue_cond, queue_body, st0)
+        (head, _iterc, napp, succ_pos, s_cap, s_pos, rp, rc, rs, re,
+         app_sid, _ai, _ar, _at, _as) = st
+
+        # queue exhausted with work left -> cap those sites
+        sids = jnp.arange(NS, dtype=I32)
+        s_cap = jnp.maximum(
+            s_cap, jnp.where((sids >= head) & (sids < n_eff),
+                             CAP_ROUNDS, 0))
+        jq = jnp.arange(NQA + BLK, dtype=I32)
+        unproc = (jq + n_eff >= head) & (jq < napp)
+        s_cap = s_cap.at[jnp.clip(app_sid, 0, NS - 1)].max(
+            jnp.where(unproc, CAP_ROUNDS, 0))
+
+        # ---------------- 3. whole-read chain walk ----------------------
+        s_ok = s_pos < BIG
+        succ_idx = jnp.where(
+            succ_pos < BIG,
+            cumT[jnp.clip(succ_pos, 0, CHUNK - 1)] - 1, NS)
+        J = jnp.append(jnp.clip(succ_idx, 0, NS), jnp.int32(NS))
+        jumps = [J]
+        for _ in range(LV - 1):
+            J = J[J]
+            jumps.append(J)
+
+        hpos = nt[jnp.clip(rstart, 0, CHUNK - 1)]
+        h_ok = (rlen > 0) & (hpos < rend)
+        head_idx = jnp.where(
+            h_ok, cumT[jnp.clip(hpos, 0, CHUNK - 1)] - 1, NS)
+
+        s_rid = jnp.clip(_lower_bound(rstart, s_pos + 1) - 1, 0, R - 1)
+        x = jnp.clip(head_idx[s_rid], 0, NS)
+        for lv in reversed(range(LV)):
+            x2 = jumps[lv][x]
+            x = jnp.where(x2 <= sids, x2, x)
+        visited = s_ok & (x == sids)
+
+        # any capped site caps its read (a capped site may break the
+        # chain, making downstream visited-ness unreliable)
+        site_capped = s_ok & (s_cap > 0)
+        cap_read = cap_read.at[s_rid].max(site_capped)
+
+        # ---------------- 4. splice -------------------------------------
+        rv = (rp < BIG) & jnp.repeat(visited, SLOTS)
+        (crp, crc, crs, cre), rok, rover = _compact(
+            rv, (rp, rc, rs, re), NR)
+        cap_read = cap_read.at[
+            jnp.clip(rid[jnp.clip(rp, 0, CHUNK - 1)], 0, R - 1)].max(rover)
+        crp = jnp.where(rok, crp, BIG)
+
+        rlane = jnp.where(rok, rid[jnp.clip(crp, 0, CHUNK - 1)], R - 1)
+        rcap = jnp.append(rstart[1:], jnp.int32(CHUNK)) - rstart
+        rlo = _lower_bound(crp, rstart)                  # (R,)
+        rhi = _lower_bound(crp, rstart + rcap)           # (R,)
+        ridx = jnp.arange(NR, dtype=I32)
+        is_first = ridx == rlo[rlane]
+        pidx = jnp.clip(ridx - 1, 0, NR - 1)
+        pe = jnp.where(is_first, rstart[rlane], crp[pidx] + crs[pidx])
+        vlen = crp - pe
+        cap_read = cap_read.at[rlane].max(rok & (vlen < 0))
+        vlen = jnp.clip(vlen, 0, CHUNK)
+        slen = jnp.where(rok, vlen + crc, 0)
+
+        Sx = jnp.concatenate(
+            [jnp.zeros(1, I32), jnp.cumsum(slen, dtype=I32)])       # (NR+1,)
+        SxLo = Sx[rlo]                                   # (R,)
+        ostart_v = Sx[ridx] - SxLo[rlane]
+        ostart_e = ostart_v + vlen
+        body_len = Sx[rhi] - SxLo                        # (R,)
+        has_rec = rhi > rlo
+        lastx = jnp.clip(rhi - 1, 0, NR - 1)
+        last_end = jnp.where(has_rec, crp[lastx] + crs[lastx], rstart)
+        tail_len = rend - last_end
+        out_len = body_len + tail_len
+        cap_read = cap_read | ((rlen > 0) &
+                               ((out_len > rcap) | (tail_len < 0)))
+        out_len = jnp.where(rlen > 0, jnp.clip(out_len, 0, rcap), 0)
+
+        # global segment ids: g = 2*record_index + read_id for the
+        # verbatim/emit pair, 2*rhi + read_id for the tail — strictly
+        # position-ordered, so one scatter + cummax recovers them densely.
+        g_v = 2 * ridx + rlane
+        g_e = g_v + 1
+        g_t = 2 * rhi + jnp.arange(R, dtype=I32)
+        rcap_l = rcap[rlane]
+        pos_v = rstart[rlane] + ostart_v
+        pos_e = pos_v + vlen
+        pos_t = rstart + body_len
+        ok_v = rok & (ostart_v >= 0) & (ostart_v < rcap_l)
+        ok_e = rok & (ostart_e >= 0) & (ostart_e < rcap_l)
+        ok_t = (rlen > 0) & (body_len >= 0) & (body_len < rcap)
+
+        segid0 = jnp.zeros(CHUNK, I32)
+        segid0 = segid0.at[jnp.where(ok_v, pos_v, CHUNK)].max(
+            g_v, mode="drop")
+        segid0 = segid0.at[jnp.where(ok_e, pos_e, CHUNK)].max(
+            g_e, mode="drop")
+        segid0 = segid0.at[jnp.where(ok_t, pos_t, CHUNK)].max(
+            g_t, mode="drop")
+        segid = jax.lax.cummax(segid0)
+
+        # per-segment source base: src = seg_base[segid] + pos.  Verbatim
+        # and tail segments index the input codes; emit segments yield
+        # `within` (the offset into the record's emit words).
+        seg_base = jnp.zeros(NSEG, I32)
+        seg_base = seg_base.at[jnp.where(rok, g_v, NSEG - 1)].set(
+            pe - pos_v, mode="drop")
+        seg_base = seg_base.at[jnp.where(rok, g_e, NSEG - 1)].set(
+            -pos_e, mode="drop")
+        seg_base = seg_base.at[jnp.where(rlen > 0, g_t, NSEG - 1)].set(
+            last_end - pos_t, mode="drop")
+
+        sb = seg_base[jnp.clip(segid, 0, NSEG - 1)]
+        src = sb + pos
+        is_emit = ((segid - rid) & 1) == 1
+        rec = jnp.clip((segid - rid) >> 1, 0, NR - 1)
+        within = jnp.clip(src, 0, EW * BPW - 1)
+        eword = cre[rec, within // BPW]
+        ecode = ((eword >> ((within % BPW) * 2).astype(U32)) & _u(3)
+                 ).astype(U8)
+        out_code = jnp.where(is_emit, ecode,
+                             codes[jnp.clip(src, 0, CHUNK - 1)])
+        opin = pos - start_of
+        keep = opin < out_len[rid]
+        out = dc.pack_codes(jnp.where(keep, out_code, U8(0)))
+
+        def _cnt(m):
+            return jnp.sum(m.astype(I32), dtype=I32)
+
+        aux = jnp.stack([
+            n_eff,
+            _cnt(site_capped & (s_cap == CAP_OVERFLOW)),
+            _cnt(site_capped & (s_cap == CAP_ATTEMPT)),
+            _cnt(site_capped & (s_cap == CAP_ROUNDS)),
+            _cnt(visited),
+            _cnt(rok),
+            _cnt(cap_read),
+            jnp.minimum(n_sites, BIG),
+        ])
+        if _debug:
+            dbg = dict(V=V, T=T, n_sites=n_sites, s_pos=s_pos,
+                       s_cap=s_cap, succ_pos=succ_pos, visited=visited,
+                       rp=rp, rc=rc, rs=rs, crp=crp, crc=crc, crs=crs,
+                       rok=rok, head_idx=head_idx, succ_idx=succ_idx,
+                       ostart_v=ostart_v, vlen=vlen, body_len=body_len,
+                       segid=segid, out_code=jnp.where(keep, out_code,
+                                                       U8(0)))
+            return out, out_len, cap_read, aux, dbg
+        return out, out_len, cap_read, aux
+
+    return jax.jit(passfn)
+
+
+def make_reverse3_fn(CHUNK: int, R: int):
+    """Jitted in-slot reversal of the length-n prefix of every read (the
+    two-side reverse pass works on plain-reversed bytes,
+    src/lib.rs:110-117)."""
+
+    @jax.jit
+    def rev(packed, rstart, rlen):
+        codes = dc.unpack_codes(packed, CHUNK)
+        pos = jnp.arange(CHUNK, dtype=I32)
+        rid0 = jnp.zeros(CHUNK, I32).at[rstart].max(
+            jnp.arange(R, dtype=I32), mode="drop")
+        rid = jax.lax.cummax(rid0)
+        start_of = rstart[rid]
+        len_of = rlen[rid]
+        opin = pos - start_of
+        src = jnp.where(opin < len_of,
+                        start_of + len_of - 1 - opin, pos)
+        return dc.pack_codes(codes[jnp.clip(src, 0, CHUNK - 1)])
+
+    return rev
+
+
+# ---------------------------------------------------------------------------
+# Batch driver: flat chunk packing, 2-bit packed device IO.
+# ---------------------------------------------------------------------------
+
+_PURE_LUT = np.zeros(256, dtype=bool)
+_PURE_LUT[[65, 67, 71, 84]] = True  # 'A' 'C' 'G' 'T'
+_DECODE = np.frombuffer(b"ACTG", dtype=np.uint8)
+
+#: process-wide compiled-program cache (correctors share pass programs;
+#: the jax in this image cannot use the persistent on-disk cache, see
+#: device_codec).
+_FN_CACHE: dict = {}
+
+
+class Tpu3Corrector:
+    """Flat-packed batched device corrector (engine v3).
+
+    Same public contract as the v1/v2 correctors (bit-exact,
+    cap -> exact host-oracle fallback); ONE compiled program per
+    strategy plus one reversal program, reused for every batch."""
+
+    #: flat positions per chunk (static; one XLA program shape)
+    CHUNK = 1 << 21
+    #: read slots per chunk
+    R = 512
+
+    def __init__(self, valid_kmer, corrections, confirm: int,
+                 max_search: int, chunk: int | None = None,
+                 nreads: int | None = None):
+        from br_tpu.set.solid import SolidSet
+
+        _check_k(valid_kmer.k)
+        if not isinstance(valid_kmer, SolidSet):
+            raise TypeError("engine3 requires a SolidSet (k <= 15); "
+                            "use the v2 engine for hash sets")
+        self.k = valid_kmer.k
+        self.c = confirm
+        self.ms = max_search
+        self.corrections = [s.lower().replace("_", "-")
+                            for s in corrections]
+        self.valid_kmer = valid_kmer
+        self.table = jax.device_put(valid_kmer.device_words())
+        if chunk is not None:
+            self.CHUNK = chunk
+        if nreads is not None:
+            self.R = nreads
+        self._oracle = None
+        #: optional jax.sharding.Mesh with a "dp" axis (see
+        #: br_tpu.parallel); chunks are then grouped and sharded.
+        self.mesh = None
+
+    # -- planning -----------------------------------------------------------
+
+    def _slot_len(self, n: int) -> int:
+        slack = max(64, n // 8)  # net-insertion headroom; overflow -> cap
+        s = n + slack
+        return s + (-s) % 32
+
+    def _plan(self, seqs, skip):
+        """Pack read indices into chunks of <= CHUNK positions / R slots.
+
+        Returns [(idxs, rstarts)] per chunk."""
+        plans = []
+        cur_idx, cur_starts, off = [], [], 0
+        for i, s in enumerate(seqs):
+            if i in skip:
+                continue
+            sl = self._slot_len(len(s))
+            if sl > self.CHUNK:
+                skip.add(i)  # absurdly long read -> host oracle
+                continue
+            if off + sl > self.CHUNK or len(cur_idx) >= self.R:
+                plans.append((cur_idx, cur_starts))
+                cur_idx, cur_starts, off = [], [], 0
+            cur_idx.append(i)
+            cur_starts.append(off)
+            off += sl
+        if cur_idx:
+            plans.append((cur_idx, cur_starts))
+        return plans
+
+    # -- compiled program lookup --------------------------------------------
+
+    def _get_pass(self, strategy: str):
+        key = ("v3", strategy, self.k, self.c, self.ms, self.CHUNK, self.R)
+        fn = _FN_CACHE.get(key)
+        if fn is None:
+            fn = make_pass3_fn(self.k, strategy, self.c, self.ms, self.c,
+                               self.CHUNK, self.R)
+            _FN_CACHE[key] = fn
+        return fn
+
+    def _get_reverse(self):
+        key = ("v3rev", self.CHUNK, self.R)
+        fn = _FN_CACHE.get(key)
+        if fn is None:
+            fn = make_reverse3_fn(self.CHUNK, self.R)
+            _FN_CACHE[key] = fn
+        return fn
+
+    # -- the public batch interface ------------------------------------------
+
+    def correct_batch(self, seqs, two_side: bool):
+        out = [None] * len(seqs)
+        impure = {
+            i for i, s in enumerate(seqs)
+            if not _PURE_LUT[np.frombuffer(s, np.uint8)].all()
+        }
+        plans = self._plan(seqs, impure)
+        if self.mesh is not None:
+            handles = self._dispatch_sharded(seqs, plans, two_side)
+        else:
+            handles = [self._dispatch_chunk(seqs, idxs, starts, two_side)
+                       for idxs, starts in plans]
+        fb_idx = sorted(impure)
+        for (idxs, starts), (a, n, cap) in zip(plans, handles):
+            a_np = np.asarray(a)
+            n_np = np.asarray(n)
+            cap_np = np.asarray(cap)
+            codes = np.empty(a_np.shape[0] * 4, np.uint8)
+            for sh in range(4):
+                codes[sh::4] = (a_np >> (2 * sh)) & 3
+            for b, i in enumerate(idxs):
+                if cap_np[b]:
+                    fb_idx.append(i)
+                else:
+                    lo = starts[b]
+                    out[i] = _DECODE[codes[lo : lo + n_np[b]]].tobytes()
+        if fb_idx:
+            fixed = self._oracle_correct_many(
+                [seqs[i] for i in fb_idx], two_side)
+            for i, s in zip(fb_idx, fixed):
+                out[i] = s
+        return out
+
+    def _chunk_arrays(self, seqs, idxs, starts):
+        """Host-side packing of one chunk: 2-bit codes + slot tables."""
+        CHUNK, R = self.CHUNK, self.R
+        codes = np.zeros(CHUNK, dtype=np.uint8)
+        rstart = np.full(R, CHUNK, dtype=np.int32)
+        rlen = np.zeros(R, dtype=np.int32)
+        for b, (i, lo) in enumerate(zip(idxs, starts)):
+            arr = np.frombuffer(seqs[i], dtype=np.uint8)
+            codes[lo : lo + len(arr)] = (arr >> 1) & 3
+            rstart[b] = lo
+            rlen[b] = len(arr)
+        # unused trailing slots: keep rstart sorted (sentinel CHUNK) and
+        # give the last used slot its implied capacity.
+        b4 = codes.reshape(CHUNK // 4, 4)
+        packed = (b4[:, 0] | (b4[:, 1] << 2) | (b4[:, 2] << 4)
+                  | (b4[:, 3] << 6))
+        return packed, rstart, rlen
+
+    def _dispatch_chunk(self, seqs, idxs, starts, two_side: bool):
+        """Enqueue the full chain for one chunk; returns device handles
+        (packed codes, out_lens (R,), cap (R,)) without synchronizing."""
+        packed, rstart, rlen = self._chunk_arrays(seqs, idxs, starts)
+
+        a = jax.device_put(packed)
+        rs = jax.device_put(rstart)
+        n = jax.device_put(rlen)
+        cap_any = jnp.zeros(self.R, dtype=bool)
+        rev_fn = self._get_reverse()
+
+        def run_chain(a, n, cap_any):
+            for strat in self.corrections:
+                fn = self._get_pass(strat)
+                a, n, cap, _aux = fn(self.table, a, rs, n)
+                cap_any = cap_any | cap
+            return a, n, cap_any
+
+        a, n, cap_any = run_chain(a, n, cap_any)
+        if not two_side:
+            a = rev_fn(a, rs, n)
+            a, n, cap_any = run_chain(a, n, cap_any)
+            a = rev_fn(a, rs, n)
+        return a, n, cap_any
+
+    # -- multi-chip path (BASELINE config 5) ---------------------------------
+
+    def _get_sharded_chain(self, two_side: bool):
+        """shard_map'd full chain over the "dp" mesh: one flat chunk per
+        device, bitfield replicated, no cross-device collectives in the
+        correction phase (reads are independent)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        key = ("v3sh", id(self.mesh), two_side, self.CHUNK, self.R,
+               tuple(self.corrections))
+        fn = _FN_CACHE.get(key)
+        if fn is not None:
+            return fn
+
+        mesh = self.mesh
+        passfns = [self._get_pass(st) for st in self.corrections]
+        rev_fn = self._get_reverse()
+
+        def local_chain(table, a, rs, n):
+            a, rs, n = a[0], rs[0], n[0]
+            cap_any = jnp.zeros(self.R, dtype=bool)
+
+            def run(a, n, cap_any):
+                for pfn in passfns:
+                    a, n, cap, _aux = pfn(table, a, rs, n)
+                    cap_any = cap_any | cap
+                return a, n, cap_any
+
+            a, n, cap_any = run(a, n, cap_any)
+            if not two_side:
+                a = rev_fn(a, rs, n)
+                a, n, cap_any = run(a, n, cap_any)
+                a = rev_fn(a, rs, n)
+            return a[None], n[None], cap_any[None]
+
+        sharded = jax.shard_map(
+            local_chain, mesh=mesh,
+            in_specs=(P(), P("dp", None), P("dp", None), P("dp", None)),
+            out_specs=(P("dp", None), P("dp", None), P("dp", None)))
+        fn = jax.jit(sharded)
+        _FN_CACHE[key] = fn
+        return fn
+
+    def _dispatch_sharded(self, seqs, plans, two_side: bool):
+        """Group chunks into mesh-sized batches and run the sharded
+        chain; returns per-plan handles like _dispatch_chunk."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self.mesh
+        D = mesh.size
+        self.table = jax.device_put(
+            self.table, NamedSharding(mesh, P()))
+        chain = self._get_sharded_chain(two_side)
+        handles = []
+        empty = (np.zeros(self.CHUNK // 4, np.uint8),
+                 np.full(self.R, self.CHUNK, np.int32),
+                 np.zeros(self.R, np.int32))
+        for lo in range(0, len(plans), D):
+            group = plans[lo : lo + D]
+            arrs = [self._chunk_arrays(seqs, idxs, starts)
+                    for idxs, starts in group]
+            while len(arrs) < D:
+                arrs.append(empty)
+            pk = np.stack([a[0] for a in arrs])
+            rs = np.stack([a[1] for a in arrs])
+            rl = np.stack([a[2] for a in arrs])
+            shard = NamedSharding(mesh, P("dp", None))
+            a, n, cap = chain(self.table,
+                              jax.device_put(pk, shard),
+                              jax.device_put(rs, shard),
+                              jax.device_put(rl, shard))
+            for d in range(len(group)):
+                handles.append((a[d], n[d], cap[d]))
+        return handles
+
+    def _oracle_correct_many(self, seqs, two_side: bool):
+        if self._oracle is None:
+            try:
+                from br_tpu.native import NativeCorrector
+
+                self._oracle = NativeCorrector(
+                    self.valid_kmer, self.corrections, self.c, self.ms)
+            except Exception:
+                from br_tpu.correct import build_methods, correct_read
+
+                methods = build_methods(self.corrections, self.valid_kmer,
+                                        self.c, self.ms)
+
+                class _Py:
+                    def correct_batch(self, seqs, two_side):
+                        return [correct_read(s, methods, two_side)
+                                for s in seqs]
+
+                self._oracle = _Py()
+        return self._oracle.correct_batch(seqs, two_side)

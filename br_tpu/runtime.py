@@ -96,6 +96,16 @@ def make_corrector(valid_kmer, corrections, confirm, max_search, backend="auto")
         except Exception:  # pragma: no cover - jax always present in CI
             backend = "oracle"
     if backend == "jax":
+        # v3 (flat-packed, one program per strategy) for the headline
+        # k range with a solid bitfield; v2 (bucketed) otherwise.
+        from br_tpu.correct.engine3 import Tpu3Corrector
+        from br_tpu.set.solid import SolidSet
+
+        if valid_kmer.k <= 15 and isinstance(valid_kmer, SolidSet):
+            return Tpu3Corrector(valid_kmer, corrections, confirm,
+                                 max_search)
+        backend = "jax-v2"
+    if backend == "jax-v2":
         from br_tpu.correct.engine2 import Tpu2Corrector
 
         return Tpu2Corrector(valid_kmer, corrections, confirm, max_search)
