@@ -1183,10 +1183,14 @@ class Tpu3Corrector:
     cap -> exact host-oracle fallback); ONE compiled program per
     strategy plus one reversal program, reused for every batch."""
 
-    #: flat positions per chunk (static; one XLA program shape)
-    CHUNK = 1 << 21
+    #: flat positions per chunk (static; one XLA program shape).  2^18
+    #: balances XLA-TPU compile time (which scales with the dense shape:
+    #: ~25 s/program here vs ~130 s at 2^21) against dispatch overhead
+    #: (~0.16 ms each); the longest corpus read (62 kb + slack) still
+    #: fits one chunk.
+    CHUNK = 1 << 18
     #: read slots per chunk
-    R = 512
+    R = 256
 
     def __init__(self, valid_kmer, corrections, confirm: int,
                  max_search: int, chunk: int | None = None,
@@ -1263,6 +1267,36 @@ class Tpu3Corrector:
         return fn
 
     # -- the public batch interface ------------------------------------------
+
+    def warmup(self, two_side: bool, parallel: bool = True):
+        """Compile every program the chain needs (optionally with both
+        host cores); call before timing or to overlap with host work."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        fns = [self._get_pass(st) for st in self.corrections]
+        if not two_side:
+            fns.append(self._get_reverse())
+        CHUNK, R = self.CHUNK, self.R
+        packed = np.zeros(CHUNK // 4, np.uint8)
+        rstart = np.full(R, CHUNK, np.int32)
+        rstart[0] = 0
+        rlen = np.zeros(R, np.int32)
+        rlen[0] = 256
+        args = (jax.device_put(packed), jax.device_put(rstart),
+                jax.device_put(rlen))
+
+        def compile_one(fn):
+            try:
+                fn.lower(self.table, *args).compile()
+            except TypeError:
+                fn.lower(*args).compile()  # the reverse fn has no table
+
+        if parallel:
+            with ThreadPoolExecutor(2) as ex:
+                list(ex.map(compile_one, fns))
+        else:
+            for fn in fns:
+                compile_one(fn)
 
     def correct_batch(self, seqs, two_side: bool):
         out = [None] * len(seqs)
@@ -1375,10 +1409,14 @@ class Tpu3Corrector:
                 a = rev_fn(a, rs, n)
             return a[None], n[None], cap_any[None]
 
+        # check_vma off: the local chain is collective-free (reads are
+        # independent), and its while_loop carries mix invariant inits
+        # with per-shard data, which the varying-axis checker rejects.
         sharded = jax.shard_map(
             local_chain, mesh=mesh,
             in_specs=(P(), P("dp", None), P("dp", None), P("dp", None)),
-            out_specs=(P("dp", None), P("dp", None), P("dp", None)))
+            out_specs=(P("dp", None), P("dp", None), P("dp", None)),
+            check_vma=False)
         fn = jax.jit(sharded)
         _FN_CACHE[key] = fn
         return fn

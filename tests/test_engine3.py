@@ -1,0 +1,102 @@
+"""Differential tests: the v3 (flat-packed) engine vs the scalar oracle.
+
+Same ground rules as test_engine2.py: the oracle (br_tpu.correct.reference)
+is the spec; engine3 must match byte-for-byte, falling back through its
+cap flags where engineered bounds bite (the fallback path itself goes
+through the oracle, so any mismatch here is a real engine bug).
+
+The full-chain reverse-pass fuzz runs in the DEFAULT tier so a semantics
+drift in the flagship engine fails `pytest -q` (VERDICT r2 item 4); it
+exercises all five strategy programs plus the reversal program.
+"""
+
+import numpy as np
+import pytest
+
+from br_tpu.correct import build_methods, correct_read
+from br_tpu.correct.engine3 import Tpu3Corrector
+from br_tpu.set.solid import SolidSet
+
+K = 13
+FULL = ["one", "two", "graph", "greedy", "gap-size"]
+
+
+def _fuzz_case(chain, seed, n_reads=16, err=3, two_side=True,
+               impure=False):
+    rng = np.random.default_rng(seed)
+    genome = rng.choice(np.frombuffer(b"ACTG", np.uint8),
+                        size=4000).tobytes()
+    solid = SolidSet.from_sequences([genome], K)
+    reads = []
+    for _ in range(n_reads):
+        lo = rng.integers(0, 3600)
+        ln = int(rng.integers(2 * K + 10, 400))
+        r = bytearray(genome[lo : lo + ln])
+        for _ in range(err):
+            p = rng.integers(K + 2, len(r) - K - 2)
+            op = rng.integers(3)
+            if op == 0:
+                r[p] = ord("ACTG"[rng.integers(4)])
+            elif op == 1 and len(r) > 2 * K + 8:
+                del r[p]
+            else:
+                r.insert(p, ord("ACTG"[rng.integers(4)]))
+        reads.append(bytes(r))
+    if impure:
+        # lowercase + N bytes must route to the host oracle verbatim
+        r = bytearray(reads[0])
+        r[len(r) // 2] = ord("n")
+        r[len(r) // 3] = ord("a")
+        reads[0] = bytes(r)
+
+    tc = Tpu3Corrector(solid, chain, confirm=5, max_search=7,
+                       chunk=1 << 14, nreads=32)
+    got = tc.correct_batch(reads, two_side)
+    methods = build_methods(chain, solid, 5, 7)
+    want = [correct_read(r, methods, two_side) for r in reads]
+    assert got == want
+
+
+def test_v3_full_chain_reverse_pass():
+    """Default-tier flagship coverage: all 5 strategies + reverse pass."""
+    _fuzz_case(FULL, seed=9, err=6, two_side=False)
+
+
+def test_v3_impure_reads_route_to_oracle():
+    _fuzz_case(FULL, seed=5, err=4, two_side=False, impure=True)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("chain", [["one"], ["two"], ["graph"],
+                                   ["greedy"], ["gap-size"]])
+def test_v3_single_strategies(chain):
+    _fuzz_case(chain, seed=42)
+
+
+@pytest.mark.slow
+def test_v3_dense_errors():
+    _fuzz_case(FULL, seed=77, n_reads=24, err=10, two_side=False)
+
+
+@pytest.mark.slow
+def test_v3_long_reads_multi_chunk():
+    """Reads bigger than one chunk's read-slot budget span chunks."""
+    rng = np.random.default_rng(3)
+    genome = rng.choice(np.frombuffer(b"ACTG", np.uint8),
+                        size=20000).tobytes()
+    solid = SolidSet.from_sequences([genome], K)
+    reads = []
+    for _ in range(12):
+        lo = rng.integers(0, 8000)
+        ln = int(rng.integers(3000, 9000))
+        r = bytearray(genome[lo : lo + ln])
+        for _ in range(ln // 200):
+            p = rng.integers(K + 2, len(r) - K - 2)
+            r[p] = ord("ACTG"[rng.integers(4)])
+        reads.append(bytes(r))
+    tc = Tpu3Corrector(solid, FULL, confirm=5, max_search=7,
+                       chunk=1 << 14, nreads=4)
+    got = tc.correct_batch(reads, two_side=False)
+    methods = build_methods(FULL, solid, 5, 7)
+    want = [correct_read(r, methods, two_side=False) for r in reads]
+    assert got == want
