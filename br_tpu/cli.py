@@ -34,6 +34,12 @@ from br_tpu import (
     __version__,
 )
 from br_tpu.count import Counter, Spectrum, ThresholdMethod
+from br_tpu.errors import (
+    AbundanceThresholdOrAbundanceMethod,
+    BrError,
+    ComputeAbundanceThreshold,
+    SolidRequireKmerSize,
+)
 from br_tpu.io.fasta import open_maybe_compressed, read_records
 from br_tpu.runtime import run_correction, stdio_streams
 from br_tpu.set import HashSet, SolidSet
@@ -121,9 +127,7 @@ def _threshold(counter: Counter, abundance, selection, percent) -> int:
     if abundance is not None:
         return abundance
     if selection is None:
-        raise SystemExit(
-            "error: abundance threshold or abundance selection method required"
-        )
+        raise AbundanceThresholdOrAbundanceMethod()
     spectrum = Spectrum.from_count(counter.raw())
     method = {
         "first-minimum": ThresholdMethod.FIRST_MINIMUM,
@@ -133,7 +137,7 @@ def _threshold(counter: Counter, abundance, selection, percent) -> int:
     }[selection]
     t = spectrum.get_threshold(method, percent or 0.0)
     if t is None:
-        raise SystemExit("error: we can't compute abundance threshold")
+        raise ComputeAbundanceThreshold()
     return t
 
 
@@ -160,7 +164,7 @@ def build_set(args):
         if fmt == "solid":
             return SolidSet.load(args.set_input)
         if args.kmer_size is None:
-            raise SystemExit("error: solid with csv/fasta/fastq requires -k")
+            raise SolidRequireKmerSize()
         if fmt == "csv":
             with open_maybe_compressed(args.set_input) as fh:
                 return SolidSet.from_csv(fh, args.kmer_size)
@@ -178,32 +182,68 @@ def build_set(args):
     raise SystemExit(f"unknown subcommand {args.subcommand}")
 
 
+class _TimestampFormatter(logging.Formatter):
+    """stderrlog-style optional timestamps (-T sec|ms|ns, src/main.rs:27)."""
+
+    def __init__(self, unit: str):
+        super().__init__("%(asctime)s %(levelname)s %(name)s: %(message)s",
+                         datefmt="%Y-%m-%dT%H:%M:%S")
+        self.unit = unit
+
+    def formatTime(self, record, datefmt=None):
+        base = super().formatTime(record, datefmt)
+        if self.unit == "ms":
+            return f"{base}.{int(record.msecs):03d}"
+        if self.unit == "ns":
+            frac = record.created - int(record.created)
+            return f"{base}.{int(frac * 1e9):09d}"
+        return base
+
+
+def configure_logging(quiet: bool, verbosity: int, timestamp: str) -> None:
+    """stderr logging à la stderrlog (src/main.rs:22-28): -q silences,
+    -v raises verbosity, -T adds timestamps."""
+    level = logging.CRITICAL if quiet else (
+        [logging.WARNING, logging.INFO, logging.DEBUG][min(verbosity, 2)]
+    )
+    handler = logging.StreamHandler(sys.stderr)
+    if timestamp != "none":
+        handler.setFormatter(_TimestampFormatter(timestamp))
+    else:
+        handler.setFormatter(
+            logging.Formatter("%(levelname)s %(name)s: %(message)s"))
+    root = logging.getLogger()
+    root.handlers[:] = [handler]
+    root.setLevel(level)
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
-    level = logging.CRITICAL if args.quiet else (
-        [logging.WARNING, logging.INFO, logging.DEBUG][min(args.verbosity, 2)]
-    )
-    logging.basicConfig(stream=sys.stderr, level=level,
-                        format="%(levelname)s %(name)s: %(message)s")
+    configure_logging(args.quiet, args.verbosity, args.timestamp)
 
-    kmer_set = build_set(args)
+    try:
+        kmer_set = build_set(args)
 
-    corrections = args.corrections or list(DEFAULT_CORRECTIONS)
-    inputs, outputs = stdio_streams(args.inputs, args.outputs)
+        corrections = args.corrections or list(DEFAULT_CORRECTIONS)
+        inputs, outputs = stdio_streams(args.inputs, args.outputs)
 
-    run_correction(
-        inputs,
-        outputs,
-        kmer_set,
-        corrections,
-        args.confirm,
-        args.max_search,
-        args.two_side,
-        record_buffer=args.record_buffer,
-        backend=args.backend,
-        line_width=args.line_width,
-    )
+        run_correction(
+            inputs,
+            outputs,
+            kmer_set,
+            corrections,
+            args.confirm,
+            args.max_search,
+            args.two_side,
+            record_buffer=args.record_buffer,
+            backend=args.backend,
+            line_width=args.line_width,
+            threads=args.threads,
+        )
+    except BrError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     return 0
 
 

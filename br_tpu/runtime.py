@@ -22,7 +22,7 @@ from typing import Iterable, Optional, Sequence
 
 from br_tpu import DEFAULT_RECORD_BUFFER
 from br_tpu.correct import build_methods, correct_read
-from br_tpu.io.fasta import read_records, write_fasta_record, write_fastq_record
+from br_tpu.io.fasta import read_records, write_fasta_record
 
 log = logging.getLogger("br_tpu")
 
@@ -49,14 +49,18 @@ def run_correction(
     record_buffer: int = DEFAULT_RECORD_BUFFER,
     backend: str = "auto",
     line_width: int = 80,
+    threads: int = 0,
 ) -> int:
     """Correct every record of every (input, output) pair; returns #records.
 
     ``inputs`` / ``outputs`` are paths or streams, zipped pairwise like the
-    reference (src/lib.rs:79).
+    reference (src/lib.rs:79).  ``threads`` sizes the host worker pool of
+    the CPU backends (0 = all cores), mirroring the reference's rayon pool
+    (src/main.rs:30-33); device backends ignore it.
     """
     corrector = make_corrector(
-        valid_kmer, corrections, confirm, max_search, backend=backend
+        valid_kmer, corrections, confirm, max_search, backend=backend,
+        threads=threads,
     )
 
     n = 0
@@ -68,15 +72,10 @@ def run_correction(
                 log.info("correcting batch of %d records", len(batch))
                 seqs = [seq for (_d, seq, _q) in batch]
                 corrected = corrector.correct_batch(seqs, two_side)
-                for (definition, _seq, qual), fixed in zip(batch, corrected):
-                    if qual is None:
-                        write_fasta_record(out, definition, fixed, width=line_width)
-                    else:
-                        # The reference's fastq feature preserves the input
-                        # quality string; lengths can drift after indel fixes,
-                        # mirror by trimming/padding with '!' to the new length.
-                        q = qual[: len(fixed)].ljust(len(fixed), b"!")
-                        write_fastq_record(out, definition, fixed, q)
+                for (definition, _seq, _qual), fixed in zip(batch, corrected):
+                    # The reference always writes FASTA records, even for
+                    # FASTQ input (src/lib.rs:30-31,121-127).
+                    write_fasta_record(out, definition, fixed, width=line_width)
                     n += 1
         finally:
             if own_sink:
@@ -86,7 +85,8 @@ def run_correction(
     return n
 
 
-def make_corrector(valid_kmer, corrections, confirm, max_search, backend="auto"):
+def make_corrector(valid_kmer, corrections, confirm, max_search,
+                   backend="auto", threads=0):
     """Pick a batch corrector backend."""
     if backend == "auto":
         try:
@@ -116,7 +116,8 @@ def make_corrector(valid_kmer, corrections, confirm, max_search, backend="auto")
     if backend == "native":
         from br_tpu.native import NativeCorrector
 
-        return NativeCorrector(valid_kmer, corrections, confirm, max_search)
+        return NativeCorrector(valid_kmer, corrections, confirm, max_search,
+                               threads=threads)
     if backend == "oracle":
         return OracleCorrector(valid_kmer, corrections, confirm, max_search)
     raise ValueError(f"unknown backend {backend!r}")

@@ -85,7 +85,12 @@ class HashSet:
             if first:
                 first = False
                 continue
-            self.set(codec.seq2bit(line.split(",")[0].encode()))
+            field = line.split(",")[0]
+            if not field:
+                from br_tpu.errors import CsvMissingFirstColumn
+
+                raise CsvMissingFirstColumn()
+            self.set(codec.seq2bit(field.encode()))
         return self
 
     def sorted_table(self) -> np.ndarray:

@@ -136,6 +136,10 @@ class SolidSet:
                 first = False
                 continue
             field = line.split(",")[0]
+            if not field:
+                from br_tpu.errors import CsvMissingFirstColumn
+
+                raise CsvMissingFirstColumn()
             self.set(codec.seq2bit(field.encode()))
         return self
 

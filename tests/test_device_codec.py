@@ -16,12 +16,16 @@ def _rand_kmers(k, n=4096, seed=0):
     return rng.integers(0, 1 << (2 * k), size=n, dtype=np.uint64)
 
 
-def test_revcomp32_matches_u64():
+def test_revcomp32_matches_host():
+    # expected values from the verified host codec: compiling the u64
+    # device revcomp here hit XLA's u64 compile pathology (~8 min on the
+    # 8-device CPU mesh) for no extra coverage.
     for k in (3, 7, 13, 15):
         km = _rand_kmers(k, seed=k)
-        r64 = np.asarray(dc.revcomp(jnp.asarray(km, jnp.uint64), k))
+        want = np.array([codec.revcomp(int(x), k) for x in km],
+                        dtype=np.uint64)
         r32 = np.asarray(dc.revcomp32(jnp.asarray(km.astype(np.uint32)), k))
-        assert np.array_equal(r64.astype(np.uint32), r32)
+        assert np.array_equal(want.astype(np.uint32), r32)
 
 
 def test_canonical_any_matches_host():

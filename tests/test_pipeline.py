@@ -113,3 +113,67 @@ def test_definition_preserved_verbatim(tmp_path):
     assert rc == 0
     d, _s, _q = next(read_records(str(out)))
     assert d == b"weird header  with\tstuff extra=1"
+
+
+def test_fastq_input_writes_fasta_output(tmp_path):
+    """The reference always writes FASTA records, even for FASTQ input
+    (src/lib.rs:30-31,121-127)."""
+    refe = b"GTGTGACTTACACCTCGTTGAGCACCCGATGTTGGTATAGTCCGAACAAC"
+    inp = tmp_path / "reads.fq"
+    inp.write_bytes(b"@r0 comment\n" + refe + b"\n+\n" + b"I" * len(refe)
+                    + b"\n")
+    ref = tmp_path / "ref.fa"
+    ref.write_bytes(b">ref\n" + refe + b"\n")
+    out = tmp_path / "out.fa"
+    rc = main([
+        "-i", str(inp), "-o", str(out), "-c", "one", "--backend", "oracle",
+        "--line-width", "0",
+        "solid", "-f", "fasta", "-i", str(ref), "-k", "11",
+    ])
+    assert rc == 0
+    data = out.read_bytes()
+    assert data == b">r0 comment\n" + refe + b"\n"
+
+
+def test_threads_flag_reaches_native_pool(tmp_path, monkeypatch):
+    """-t sizes the host worker pool (ref src/main.rs:30-33)."""
+    import br_tpu.runtime as runtime
+
+    seen = {}
+    real = runtime.make_corrector
+
+    def spy(valid_kmer, corrections, confirm, max_search, backend="auto",
+            threads=0):
+        seen["threads"] = threads
+        return real(valid_kmer, corrections, confirm, max_search,
+                    backend="oracle")
+
+    monkeypatch.setattr(runtime, "make_corrector", spy)
+    _run_cli(tmp_path, "oracle", argv_extra=("-t", "3"))
+    assert seen["threads"] == 3
+
+
+def test_native_pool_uses_threads():
+    from br_tpu.native import NativeCorrector
+    from br_tpu.set.solid import SolidSet
+
+    s = SolidSet.from_sequences([b"ACTGACGACCCTTGCA"], 11)
+    nc = NativeCorrector(s, ["one"], 5, 7, threads=2)
+    assert nc._pool._max_workers == 2
+
+
+def test_timestamp_flag_formats_log(tmp_path, capsys):
+    """-T adds timestamps to stderr logging (ref src/main.rs:27)."""
+    import logging
+
+    from br_tpu.cli import configure_logging
+
+    configure_logging(quiet=False, verbosity=1, timestamp="ms")
+    logging.getLogger("br_tpu").info("hello-stamped")
+    err = capsys.readouterr().err
+    assert "hello-stamped" in err
+    import re
+
+    assert re.search(r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3} ", err)
+    # reset to no-timestamp default so later tests are unaffected
+    configure_logging(quiet=True, verbosity=0, timestamp="none")
