@@ -21,3 +21,9 @@ from br_tpu.parallel.mesh import (  # noqa: F401
     data_parallel_mesh,
     shard_batch,
 )
+from br_tpu.parallel.multihost import (  # noqa: F401
+    count_stripe_merged,
+    global_mesh,
+    initialize,
+    run_correction_striped,
+)

@@ -1,0 +1,110 @@
+"""Multi-host path (BASELINE config 5): striped correction with an
+order-preserving merge, and the distributed counting psum merge.
+
+Real pods aren't available here, so N=2 local CPU processes stand in
+(SURVEY §4 tier 3): the same ``jax.distributed`` runtime and collective
+code paths run over local TCP instead of DCN."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REF = "/root/reference/tests/data"
+
+
+def _clean_env(extra=None):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    if extra:
+        env.update(extra)
+    return env
+
+
+def _launch(code: str, n: int, extra_env=None):
+    procs = [
+        subprocess.Popen([sys.executable, "-c", code, str(p), str(n)],
+                         env=_clean_env(extra_env), cwd="/root/repo",
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True)
+        for p in range(n)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o
+    return outs
+
+
+def test_striped_correction_merges_in_input_order(tmp_path):
+    """2-process striped run == single-process output, byte-identical."""
+    inp = tmp_path / "in.fa"
+    # 11 reads (odd count: uneven stripes) from the real corpus
+    with open(f"{REF}/raw.fasta", "rb") as fh:
+        lines = []
+        n = 0
+        for line in fh:
+            if line.startswith(b">"):
+                n += 1
+                if n > 11:
+                    break
+            lines.append(line)
+    inp.write_bytes(b"".join(lines))
+
+    single = tmp_path / "single.fa"
+    merged = tmp_path / "merged.fa"
+
+    code = """
+import sys
+sys.path.insert(0, "/root/repo")
+pid, n = int(sys.argv[1]), int(sys.argv[2])
+from br_tpu.parallel.multihost import run_correction_striped
+from br_tpu.set.solid import SolidSet
+solid = SolidSet.load(%r)
+run_correction_striped(%r, %r, solid, ["one"], 5, 7, False,
+                       process_id=pid, num_processes=n, backend="oracle")
+print("proc", pid, "ok")
+""" % (f"{REF}/raw.k11.a2.solid", str(inp), str(merged))
+    _launch(code, 2)
+
+    from br_tpu.runtime import run_correction
+    from br_tpu.set.solid import SolidSet
+
+    solid = SolidSet.load(f"{REF}/raw.k11.a2.solid")
+    run_correction([str(inp)], [str(single)], solid, ["one"], 5, 7, False,
+                   backend="oracle")
+    assert merged.read_bytes() == single.read_bytes()
+    assert not list(tmp_path.glob("merged.fa.part*"))  # parts cleaned up
+
+
+def test_distributed_count_psum_merge(tmp_path):
+    """count_stripe_merged over 2 jax.distributed processes == host count."""
+    port = 29000 + os.getpid() % 1000
+    code = """
+import sys
+sys.path.insert(0, "/root/repo")
+pid, n = int(sys.argv[1]), int(sys.argv[2])
+import numpy as np
+from br_tpu.parallel import multihost
+multihost.initialize("localhost:%d", n, pid)
+import jax
+assert jax.process_count() == n
+
+rng = np.random.default_rng(7)
+bases = np.frombuffer(b"ACTG", np.uint8)
+seqs = [rng.choice(bases, 120).tobytes() for _ in range(9)]
+k = 7
+merged = multihost.count_stripe_merged(seqs, k, pid, n)
+
+from br_tpu.count import Counter
+host = Counter(k, count_dtype=np.uint32)
+for s in seqs:
+    host.count_sequence(s)
+assert np.array_equal(merged, host.counts), "psum merge != host count"
+print("proc", pid, "count ok")
+""" % port
+    outs = _launch(code, 2)
+    assert all("count ok" in o for o in outs)
