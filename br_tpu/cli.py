@@ -85,6 +85,8 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto", help="correction backend")
     p.add_argument("--line-width", type=int, default=80,
                    help="FASTA output wrap width (0 = single line)")
+    p.add_argument("--trace", metavar="DIR",
+                   help="write a jax.profiler device trace of the run")
 
     sub = p.add_subparsers(dest="subcommand", required=True)
 
@@ -222,25 +224,32 @@ def main(argv=None) -> int:
 
     configure_logging(args.quiet, args.verbosity, args.timestamp)
 
+    from br_tpu import profiling
+
     try:
-        kmer_set = build_set(args)
+        with profiling.device_trace(args.trace):
+            with profiling.stage("build-set"):
+                kmer_set = build_set(args)
 
-        corrections = args.corrections or list(DEFAULT_CORRECTIONS)
-        inputs, outputs = stdio_streams(args.inputs, args.outputs)
+            corrections = args.corrections or list(DEFAULT_CORRECTIONS)
+            inputs, outputs = stdio_streams(args.inputs, args.outputs)
 
-        run_correction(
-            inputs,
-            outputs,
-            kmer_set,
-            corrections,
-            args.confirm,
-            args.max_search,
-            args.two_side,
-            record_buffer=args.record_buffer,
-            backend=args.backend,
-            line_width=args.line_width,
-            threads=args.threads,
-        )
+            n = run_correction(
+                inputs,
+                outputs,
+                kmer_set,
+                corrections,
+                args.confirm,
+                args.max_search,
+                args.two_side,
+                record_buffer=args.record_buffer,
+                backend=args.backend,
+                line_width=args.line_width,
+                threads=args.threads,
+            )
+        if args.verbosity:
+            logging.getLogger("br_tpu").info("corrected %d records", n)
+            profiling.report()
     except BrError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

@@ -23,6 +23,7 @@ from typing import Iterable, Optional, Sequence
 from br_tpu import DEFAULT_RECORD_BUFFER
 from br_tpu.correct import build_methods, correct_read
 from br_tpu.io.fasta import read_records, write_fasta_record
+from br_tpu.profiling import stage
 
 log = logging.getLogger("br_tpu")
 
@@ -71,12 +72,16 @@ def run_correction(
             for batch in _batches(read_records(source), record_buffer):
                 log.info("correcting batch of %d records", len(batch))
                 seqs = [seq for (_d, seq, _q) in batch]
-                corrected = corrector.correct_batch(seqs, two_side)
-                for (definition, _seq, _qual), fixed in zip(batch, corrected):
-                    # The reference always writes FASTA records, even for
-                    # FASTQ input (src/lib.rs:30-31,121-127).
-                    write_fasta_record(out, definition, fixed, width=line_width)
-                    n += 1
+                with stage("correct"):
+                    corrected = corrector.correct_batch(seqs, two_side)
+                with stage("write"):
+                    for (definition, _seq, _qual), fixed in zip(batch,
+                                                                corrected):
+                        # The reference always writes FASTA records, even
+                        # for FASTQ input (src/lib.rs:30-31,121-127).
+                        write_fasta_record(out, definition, fixed,
+                                           width=line_width)
+                        n += 1
         finally:
             if own_sink:
                 out.close()

@@ -79,3 +79,49 @@ def test_cli_abundance_selection_subcommand():
         ["fasta", "-i", "x.fa", "-k", "13", "rarefaction", "0.1"])
     assert args.abundance_selection == "rarefaction"
     assert args.percent == pytest.approx(0.1)
+
+
+def test_spectrum_realistic_bimodal_fixture():
+    """Hand-computed thresholds on a realistic bimodal k-mer spectrum
+    (error peak at 1, coverage peak at 20, valley at 5)."""
+    import numpy as np
+
+    # hist[a] = number of distinct k-mers seen a times
+    hist = np.zeros(41, np.int64)
+    hist[1] = 10_000  # sequencing-error k-mers
+    hist[2] = 3_000
+    hist[3] = 900
+    hist[4] = 250
+    hist[5] = 80      # valley
+    hist[6] = 120
+    for a, v in ((10, 500), (15, 2_000), (20, 5_000), (25, 2_000),
+                 (30, 500)):
+        hist[a] = v
+    sp = Spectrum(hist)
+    total = 24_350
+
+    # first local minimum: first a with hist[a] < hist[a+1] -> 5
+    assert sp.get_threshold(ThresholdMethod.FIRST_MINIMUM) == 5
+    # rarefaction(0.01): first a with hist[a]/total < 1%; a=4 is 250/24350
+    # = 1.03% (not below), a=5 is 80/24350 = 0.33% -> 5
+    assert sp.get_threshold(ThresholdMethod.RAREFACTION, 0.01) == 5
+    # percent-at-least(0.4): largest a with >= 40% of k-mers counted >= a
+    # tail(6)=10120 (41.6%), tail(7)=10000 (41.1%), tail(10)=10000 -> a=10
+    assert sp.get_threshold(ThresholdMethod.PERCENT_AT_LEAST, 0.4) == 10
+    # percent-at-most(0.45): smallest a with tail fraction <= 45%
+    # tail(2)=14350/24350=58.9%, tail(3)=11350=46.6%, tail(4)=10450=42.9%
+    assert sp.get_threshold(ThresholdMethod.PERCENT_AT_MOST, 0.45) == 4
+
+
+def test_spectrum_from_count_roundtrip():
+    import numpy as np
+
+    counts = np.zeros(1 << 13, np.uint8)
+    counts[:100] = 1
+    counts[100:130] = 2
+    counts[130:140] = 7
+    sp = Spectrum.from_count(counts)
+    assert sp.hist[1] == 100 and sp.hist[2] == 30 and sp.hist[7] == 10
+    # first a with hist[a] < hist[a+1]: the zero run before the count-7
+    # bucket -> a=6 (strictly-less rule; 30 > 0 at a=2 doesn't qualify)
+    assert sp.get_threshold(ThresholdMethod.FIRST_MINIMUM) == 6

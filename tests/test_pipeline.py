@@ -177,3 +177,17 @@ def test_timestamp_flag_formats_log(tmp_path, capsys):
     assert re.search(r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3} ", err)
     # reset to no-timestamp default so later tests are unaffected
     configure_logging(quiet=True, verbosity=0, timestamp="none")
+
+
+def test_stage_timers_and_report(tmp_path, caplog):
+    """In-product profiling: stage timers accumulate and report at -v."""
+    import logging as _logging
+
+    from br_tpu import profiling
+
+    profiling.reset_stages()
+    _run_cli(tmp_path, "oracle", argv_extra=("-v",))
+    totals = profiling.stage_totals()
+    assert "build-set" in totals and "correct" in totals and "write" in totals
+    calls, secs = totals["correct"]
+    assert calls >= 1 and secs >= 0.0
