@@ -743,7 +743,8 @@ def make_gap_attempt32_arr(probe, codes, k: int, c: int, err_fn):
 
 
 def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
-                  CHUNK: int, R: int, _debug: bool = False):
+                  CHUNK: int, R: int, _debug: bool = False,
+                  _cut: str | None = None):
     """One jitted (table, packed (CHUNK//4,) u8, rstart (R,) i32,
     rlen (R,) i32) -> (out packed, out_lens (R,) i32, cap (R,) bool,
     aux (8,) i32).
@@ -761,9 +762,13 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
     NQA = NS                         # dirty re-attempt queue capacity
     NR = NS                          # compacted (visited) record capacity
     NSEG = 2 * NR + R + 1            # segment table (+1 drop slot)
+    # queue-block width: the body's op count is fixed, so wider blocks
+    # cut while_loop trips ~linearly (the ops are latency-bound at these
+    # lane counts); capped by NS so one block can cover the site table.
+    blk = min(8192, NS)
     # queue-generation guard: full blocks plus slack for small tail
     # generations (nested repair chains); leftovers cap -> oracle.
-    MAXB = (NS + NQA) // BLK + 64
+    MAXB = (NS + NQA) // blk + 64
     LV = NS.bit_length()             # pointer-doubling levels
 
     def passfn(table, packed_in, rstart, rlen):
@@ -798,6 +803,14 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
                            cumT[jnp.clip(rstart - 1, 0, CHUNK - 1)], 0)
         cumT_e = cumT[jnp.clip(rend - 1, 0, CHUNK - 1)]
         cap_read = (rlen > 0) & (cumT_e > jnp.maximum(cumT_s, NS))
+
+        if _cut == "dense":
+            # stage-bisect: consume every dense product so XLA keeps it
+            aux0 = jnp.stack([n_eff, nv[0], nt[0], cumT[-1],
+                              jnp.sum(V.astype(I32), dtype=I32),
+                              jnp.sum(cap_read.astype(I32), dtype=I32),
+                              jnp.int32(0), jnp.minimum(n_sites, BIG)])
+            return packed_in, rlen, cap_read, aux0
 
         # ---------------- attempt machinery ----------------------------
         def err_fn(i, kmer, length):
@@ -888,7 +901,7 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
              app_sid, app_i, app_reg, app_t, app_slot) = st
             total = n_eff + napp
 
-            q = head + jnp.arange(BLK, dtype=I32)
+            q = head + jnp.arange(blk, dtype=I32)
             act = q < total
             from_site = act & (q < n_eff)
             posA = jnp.clip(_lower_bound(cumT, q + 1), 0, CHUNK - 1)
@@ -949,10 +962,10 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
             pend = act & ~bad & (state == PENDING)
             slot_n = slot + applied.astype(I32)
             (cf, okm, _over) = _compact(
-                pend, (sid, i_n, reg_n, t_n, slot_n), BLK)
+                pend, (sid, i_n, reg_n, t_n, slot_n), blk)
             (p_sid, p_i, p_reg, p_t, p_slot) = cf
             npend = jnp.sum(pend.astype(I32), dtype=I32)
-            over_q = okm & (napp + jnp.arange(BLK, dtype=I32) >= NQA)
+            over_q = okm & (napp + jnp.arange(blk, dtype=I32) >= NQA)
             s_cap = s_cap.at[jnp.clip(p_sid, 0, NS - 1)].max(
                 jnp.where(over_q, CAP_OVERFLOW, 0))
             wat = (jnp.minimum(napp, NQA),)
@@ -963,10 +976,10 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
             app_slot = jax.lax.dynamic_update_slice(app_slot, p_slot, wat)
             napp = jnp.minimum(napp + npend, NQA)
 
-            # the block covered queue positions [head, min(head+BLK,
+            # the block covered queue positions [head, min(head+blk,
             # total)); same-iteration appends land at >= total and are
             # picked up by the next iteration.
-            return (jnp.minimum(head + BLK, total), iterc + 1, napp,
+            return (jnp.minimum(head + blk, total), iterc + 1, napp,
                     succ_pos, s_cap, s_pos, rp, rc, rs, re,
                     app_sid, app_i, app_reg, app_t, app_slot)
 
@@ -982,11 +995,11 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
                jnp.zeros(NS * SLOTS, I32),               # rc
                jnp.zeros(NS * SLOTS, I32),               # rs
                jnp.zeros((NS * SLOTS, EW), U32),         # re
-               jnp.zeros(NQA + BLK, I32),                # app_sid
-               jnp.zeros(NQA + BLK, I32),                # app_i
-               jnp.zeros(NQA + BLK, U32),                # app_reg
-               jnp.zeros(NQA + BLK, I32),                # app_t
-               jnp.zeros(NQA + BLK, I32))                # app_slot
+               jnp.zeros(NQA + blk, I32),                # app_sid
+               jnp.zeros(NQA + blk, I32),                # app_i
+               jnp.zeros(NQA + blk, U32),                # app_reg
+               jnp.zeros(NQA + blk, I32),                # app_t
+               jnp.zeros(NQA + blk, I32))                # app_slot
         st = jax.lax.while_loop(queue_cond, queue_body, st0)
         (head, _iterc, napp, succ_pos, s_cap, s_pos, rp, rc, rs, re,
          app_sid, _ai, _ar, _at, _as) = st
@@ -996,10 +1009,23 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
         s_cap = jnp.maximum(
             s_cap, jnp.where((sids >= head) & (sids < n_eff),
                              CAP_ROUNDS, 0))
-        jq = jnp.arange(NQA + BLK, dtype=I32)
+        jq = jnp.arange(NQA + blk, dtype=I32)
         unproc = (jq + n_eff >= head) & (jq < napp)
         s_cap = s_cap.at[jnp.clip(app_sid, 0, NS - 1)].max(
             jnp.where(unproc, CAP_ROUNDS, 0))
+
+        if _cut == "queue":
+            # stage-bisect: consume the queue products so XLA keeps them
+            aux0 = jnp.stack([
+                n_eff, head, napp,
+                jnp.sum(s_cap, dtype=I32),
+                jnp.sum(jnp.minimum(succ_pos, BIG), dtype=I32) & 0xFFFF,
+                jnp.sum(rc, dtype=I32) + jnp.sum(rs, dtype=I32)
+                + jnp.sum(re.astype(I32), dtype=I32)
+                + (jnp.sum(jnp.minimum(rp, BIG), dtype=I32) & 0xFFFF),
+                jnp.sum(jnp.minimum(s_pos, BIG), dtype=I32) & 0xFFFF,
+                jnp.minimum(n_sites, BIG)])
+            return packed_in, rlen, cap_read, aux0
 
         # ---------------- 3. whole-read chain walk ----------------------
         s_ok = s_pos < BIG
@@ -1183,12 +1209,13 @@ class Tpu3Corrector:
     cap -> exact host-oracle fallback); ONE compiled program per
     strategy plus one reversal program, reused for every batch."""
 
-    #: flat positions per chunk (static; one XLA program shape).  2^18
-    #: balances XLA-TPU compile time (which scales with the dense shape:
-    #: ~25 s/program here vs ~130 s at 2^21) against dispatch overhead
-    #: (~0.16 ms each); the longest corpus read (62 kb + slack) still
-    #: fits one chunk.
-    CHUNK = 1 << 18
+    #: flat positions per chunk (static; one XLA program shape).  The
+    #: per-chunk cost is roughly fixed + data-proportional (measured at
+    #: 2^18 vs 2^20: 61 -> 38 ms per 2^18 of data for `one`), so bigger
+    #: chunks amortize the fixed part; XLA-TPU compile time bounds it
+    #: (~18 s/program at 2^18, ~55-70 s at 2^20, ~130 s at 2^21).  2^20
+    #: puts the 206-read corpus in 3 chunks at a ~3.5 min cold compile.
+    CHUNK = 1 << 20
     #: read slots per chunk
     R = 256
 
@@ -1311,10 +1338,15 @@ class Tpu3Corrector:
             handles = [self._dispatch_chunk(seqs, idxs, starts, two_side)
                        for idxs, starts in plans]
         fb_idx = sorted(impure)
-        for (idxs, starts), (a, n, cap) in zip(plans, handles):
-            a_np = np.asarray(a)
-            n_np = np.asarray(n)
-            cap_np = np.asarray(cap)
+        # one consolidated fetch per array kind: the device->host round
+        # trip costs ~25 ms each on the tunnel, so 3 fetches beat
+        # 3-per-chunk by ~0.7 s on the 12-chunk corpus
+        if handles:
+            a_all = np.asarray(jnp.stack([h[0] for h in handles]))
+            n_all = np.asarray(jnp.stack([h[1] for h in handles]))
+            cap_all = np.asarray(jnp.stack([h[2] for h in handles]))
+        for ci, (idxs, starts) in enumerate(plans):
+            a_np, n_np, cap_np = a_all[ci], n_all[ci], cap_all[ci]
             codes = np.empty(a_np.shape[0] * 4, np.uint8)
             for sh in range(4):
                 codes[sh::4] = (a_np >> (2 * sh)) & 3

@@ -1,0 +1,52 @@
+"""Stage bisect of the v3 pass on real corpus chunks (TPU): dense-only vs
+dense+queue vs full, for 'one' and 'greedy', synced via readback."""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+import jax
+
+
+def main():
+    from br_tpu.correct.engine3 import Tpu3Corrector, make_pass3_fn
+    from br_tpu.count import Counter
+    from br_tpu.io.fasta import read_records
+
+    K = 13
+    CHUNK, R = 1 << 18, 256
+    reads = [s for _d, s, _q in read_records(
+        "/root/reference/tests/data/raw.fasta")]
+    counter = Counter(K)
+    for r in reads:
+        counter.count_sequence(r)
+    solid = counter.to_solid(2)
+    print("device:", jax.devices()[0], flush=True)
+
+    tc = Tpu3Corrector(solid, ["one"], 5, 7, chunk=CHUNK, nreads=R)
+    plans = tc._plan(reads, set())
+    dev = [tuple(jax.device_put(x) for x in tc._chunk_arrays(reads, i, s))
+           for i, s in plans]
+
+    for strat in ("one", "greedy"):
+        for cut in ("dense", "queue", None):
+            fn = make_pass3_fn(K, strat, 5, 7, 5, CHUNK, R, _cut=cut)
+            t0 = time.perf_counter()
+            fn.lower(tc.table, *dev[0]).compile()
+            tcmp = time.perf_counter() - t0
+            a, n, cap, aux = fn(tc.table, *dev[0])
+            np.asarray(n)
+            t0 = time.perf_counter()
+            for d in dev:
+                a, n, cap, aux = fn(tc.table, *d)
+                np.asarray(n)
+            dt = (time.perf_counter() - t0) / len(dev)
+            print(f"{strat:8s} cut={str(cut):6s} compile {tcmp:5.1f}s "
+                  f"run {dt*1000:7.1f} ms/chunk", flush=True)
+
+
+if __name__ == "__main__":
+    main()
