@@ -424,6 +424,11 @@ def make_greedy_attempt32(probe, codes, k: int, ms: int, nb: int):
             return jnp.concatenate([jnp.full((1,), fill, v.dtype), v[:-1]])
 
         def diag_step(d, carry):
+            # d is a Python int (unrolled): the traceback rows collect in
+            # lists instead of .at[d].set on (ND, W) carry buffers — those
+            # dynamic updates forced a padded-layout buffer copy per
+            # fori_loop iteration and dominated the attempt cost
+            # (isolated: 31 ms with fori+updates, ~0.5 ms without).
             Sp, Ip, Dp, sbp, Sp2, tb_s, tb_i, tb_d = carry
             j = d - rows
             inb = (j >= 0) & (j <= Lc)
@@ -477,25 +482,34 @@ def make_greedy_attempt32(probe, codes, k: int, ms: int, nb: int):
             I_d = jnp.where(inb, I_d, NEG_INF)
             D_d = jnp.where(inb, D_d, NEG_INF)
 
-            tb_s = tb_s.at[d].set(sb_d)
-            tb_i = tb_i.at[d].set(ib_d)
-            tb_d = tb_d.at[d].set(db_d)
+            tb_s.append(sb_d)
+            tb_i.append(ib_d)
+            tb_d.append(db_d)
             return (S_d, I_d, D_d, sb_d, Sp, tb_s, tb_i, tb_d)
 
         neg = jnp.full(W, NEG_INF, dtype=I32)
-        tb0 = jnp.zeros((ND, W), dtype=jnp.int8)
-        carry = (neg, neg, neg, jnp.zeros(W, jnp.int8), neg, tb0, tb0, tb0)
-        carry = jax.lax.fori_loop(0, ND, diag_step, carry)
-        tb_s, tb_i, tb_d = carry[5], carry[6], carry[7]
+        carry = (neg, neg, neg, jnp.zeros(W, jnp.int8), neg, [], [], [])
+        for d in range(ND):
+            carry = diag_step(d, carry)
+        tb_s = jnp.stack(carry[5])
+        tb_i = jnp.stack(carry[6])
+        tb_d = jnp.stack(carry[7])
 
         its = jnp.arange(ms, dtype=I32)
         mr = (k - 1) + its
         mc = (k - 1) + its + 2
 
-        def tb_at(mat, r, j):
-            d = jnp.clip(r + j, 0, ND - 1)
-            return mat[d, jnp.clip(r, 0, Lr)]
+        # flattened 1-D traceback tables (vmapped 2-D gathers lower badly)
+        tb_s_f = tb_s.reshape(ND * W)
+        tb_i_f = tb_i.reshape(ND * W)
+        tb_d_f = tb_d.reshape(ND * W)
 
+        def tb_at(matf, r, j):
+            d = jnp.clip(r + j, 0, ND - 1)
+            return matf[d * W + jnp.clip(r, 0, Lr)]
+
+        # NOTE: unrolling this loop (T=38 straight-line steps) sent the
+        # XLA compile into the tens of minutes; keep the fori_loop.
         ops_rev0 = jnp.full((ms, T), jnp.int8(TB_START))
 
         def tb_step(t, st):
@@ -506,16 +520,16 @@ def make_greedy_attempt32(probe, codes, k: int, ms: int, nb: int):
             ops_rev = ops_rev.at[:, t].set(
                 jnp.where(active, layer, jnp.int8(TB_START)))
             nxt = jnp.where(
-                is_ins, tb_at(tb_i, r, j),
-                jnp.where(is_del, tb_at(tb_d, r, j),
-                          tb_at(tb_s, r - 1, j - 1)))
+                is_ins, tb_at(tb_i_f, r, j),
+                jnp.where(is_del, tb_at(tb_d_f, r, j),
+                          tb_at(tb_s_f, r - 1, j - 1)))
             r2 = jnp.where(active, jnp.where(is_del, r, r - 1), r)
             j2 = jnp.where(active, jnp.where(is_ins, j, j - 1), j)
             layer2 = jnp.where(active, nxt, layer)
             nops2 = nops + active.astype(I32)
             return (r2, j2, layer2, nops2, ops_rev)
 
-        layer0 = tb_at(tb_s, mr, mc)
+        layer0 = tb_at(tb_s_f, mr, mc)
         st = (mr, mc, layer0, jnp.zeros(ms, I32), ops_rev0)
         _r, _j, _l, nops, ops_rev = jax.lax.fori_loop(0, T, tb_step, st)
 
@@ -1209,13 +1223,14 @@ class Tpu3Corrector:
     cap -> exact host-oracle fallback); ONE compiled program per
     strategy plus one reversal program, reused for every batch."""
 
-    #: flat positions per chunk (static; one XLA program shape).  The
-    #: per-chunk cost is roughly fixed + data-proportional (measured at
-    #: 2^18 vs 2^20: 61 -> 38 ms per 2^18 of data for `one`), so bigger
-    #: chunks amortize the fixed part; XLA-TPU compile time bounds it
-    #: (~18 s/program at 2^18, ~55-70 s at 2^20, ~130 s at 2^21).  2^20
-    #: puts the 206-read corpus in 3 chunks at a ~3.5 min cold compile.
-    CHUNK = 1 << 20
+    #: flat positions per chunk (static; one XLA program shape).  Chunk
+    #: size barely changes per-data EXECUTION cost (floor-subtracted:
+    #: `one` runs 35 ms per 2^18 of data at CHUNK=2^18 vs 31 ms at 2^20;
+    #: the apparent large gap was the ~26 ms readback floor, paid per
+    #: fetch, which the consolidated readback already amortizes), while
+    #: XLA-TPU compile time grows ~3x per 4x chunk (~18 s/program at
+    #: 2^18, ~55-70 s at 2^20).  2^18 keeps the cold-start bench fast.
+    CHUNK = 1 << 18
     #: read slots per chunk
     R = 256
 

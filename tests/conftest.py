@@ -8,6 +8,9 @@ bench.py (not run under pytest) uses the real chip.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # the image defaults to the axon TPU
+# Don't let the axon plugin phone the TPU relay at import: CPU tests must
+# run (and fail meaningfully) even when the relay/remote chip is wedged.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
