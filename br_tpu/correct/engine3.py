@@ -776,10 +776,11 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
     NQA = NS                         # dirty re-attempt queue capacity
     NR = NS                          # compacted (visited) record capacity
     NSEG = 2 * NR + R + 1            # segment table (+1 drop slot)
-    # queue-block width: the body's op count is fixed, so wider blocks
-    # cut while_loop trips ~linearly (the ops are latency-bound at these
-    # lane counts); capped by NS so one block can cover the site table.
-    blk = min(8192, NS)
+    # queue-block width.  Measured on the corpus: the block body's cost
+    # scales with LANES (padded-buffer bytes), not just op count — going
+    # to 8192 lanes cut trips but ran the whole chain 2.5x SLOWER
+    # (BENCH 29.2 -> 11.9 reads/s).  2048 is the measured sweet spot.
+    blk = min(BLK, NS)
     # queue-generation guard: full blocks plus slack for small tail
     # generations (nested repair chains); leftovers cap -> oracle.
     MAXB = (NS + NQA) // blk + 64
