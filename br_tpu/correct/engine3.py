@@ -595,6 +595,229 @@ def make_greedy_attempt32(probe, codes, k: int, ms: int, nb: int):
     return attempt
 
 
+def make_greedy_attempt32_arr(probe, codes, k: int, ms: int, nb: int):
+    """Array-level, lane-LAST greedy attempt — bit-identical semantics to
+    make_greedy_attempt32 (tests pin them against each other), but every
+    2-D intermediate keeps the site-lane axis LAST so TPU tiles pad the
+    small dimension (W=20 -> 24 sublanes) instead of the lane dimension
+    (20 -> 128 lanes, 6.4x traffic).  The wavefront DP was the measured
+    hot spot of the whole chain (PERF_NOTES r3)."""
+    if ms + 1 > BPW:
+        raise ValueError("greedy max_search too large for one emit word")
+
+    Lr = (k - 1) + (ms - 1)
+    Lc = (k - 1) + (ms + 1)
+    W = Lr + 1
+    ND = Lr + Lc + 1
+    T = Lr + Lc
+    GO = -1
+    GE = -1
+    OE = GO + GE
+
+    def attempt(i, kmer, length, enabled=None):
+        N = i.shape[0]
+        rem = length - i
+        nalts, corr = _alt_info32_arr(probe, kmer)
+
+        pre = kmer >> _u(2)
+        before = [((pre >> _u(2 * (k - 2 - t))) & _u(3)).astype(jnp.uint8)
+                  for t in range(k - 1)]
+
+        wks = [corr]
+        path = [(corr & _u(3)).astype(jnp.uint8)]
+        fail_step = jnp.full(N, ms, I32)
+        for s in range(ms):
+            cands = jnp.stack([add_nuc32(wks[s], jnp.uint8(a), k)
+                               for a in range(4)])         # (4, N)
+            okv = probe(cands)
+            ns = jnp.sum(okv.astype(I32), axis=0, dtype=I32)
+            sa = jnp.sum(jnp.arange(4, dtype=U32)[:, None] * okv.astype(U32),
+                         axis=0, dtype=U32)
+            nxt = add_nuc32(wks[s], sa.astype(jnp.uint8), k)
+            branch_fail = ns != 1
+            wk_next = jnp.where(branch_fail, wks[s], nxt)
+            revisit = jnp.zeros(N, dtype=bool)
+            for p in wks:
+                revisit = revisit | (wk_next == p)
+            fail_here = branch_fail | revisit
+            fail_step = jnp.where((fail_step == ms) & fail_here,
+                                  jnp.int32(s), fail_step)
+            wks.append(wk_next)
+            path.append(sa.astype(jnp.uint8))
+
+        r_full = jnp.stack(before + [
+            _code_at(codes, i + t) for t in range(ms - 1)])   # (Lr, N)
+        c_full = jnp.stack(before + path)                     # (Lc, N)
+
+        rows = np.arange(W)                                   # host ints
+
+        def shift1(v, fill):
+            return jnp.concatenate(
+                [jnp.full((1, N), fill, v.dtype), v[:-1]], axis=0)
+
+        neg = jnp.full((W, N), NEG_INF, dtype=I32)
+        Sp, Ip, Dp, Sp2 = neg, neg, neg, neg
+        sbp = jnp.zeros((W, N), jnp.int8)
+        tb_s_rows, tb_i_rows, tb_d_rows = [], [], []
+        xr_all = r_full[np.clip(rows - 1, 0, Lr - 1)]         # (W, N) static
+        for d in range(ND):
+            j = d - rows                                      # host ints (W,)
+            inb = ((j >= 0) & (j <= Lc))[:, None]
+
+            i_ext = shift1(Ip, NEG_INF) + GE
+            i_opn = shift1(Sp, NEG_INF) + OE
+            I_d = jnp.maximum(i_ext, i_opn)
+            ib_d = jnp.where(i_ext > i_opn, jnp.int8(OP_INS),
+                             shift1(sbp, jnp.int8(TB_START)))
+
+            d_ext = Dp + GE
+            d_opn = Sp + OE
+            D_d = jnp.maximum(d_ext, d_opn)
+            db_d = jnp.where(d_ext > d_opn, jnp.int8(OP_DEL), sbp)
+
+            yc = c_full[np.clip(j - 1, 0, Lc - 1)]            # (W, N) static
+            msc = jnp.where(xr_all == yc, 1, -1)
+            mbit = jnp.where(xr_all == yc, jnp.int8(OP_MATCH),
+                             jnp.int8(OP_SUBST))
+            m_val = shift1(Sp2, NEG_INF) + msc
+
+            S_d = m_val
+            sb_d = mbit
+            S_d, sb_d = (jnp.maximum(S_d, I_d),
+                         jnp.where(I_d > S_d, jnp.int8(OP_INS), sb_d))
+            S_d2, sb_d2 = (jnp.maximum(S_d, D_d),
+                           jnp.where(D_d > S_d, jnp.int8(OP_DEL), sb_d))
+            S_d, sb_d = S_d2, sb_d2
+
+            is_r0 = (rows == 0)[:, None]
+            is_j0 = (j == 0)[:, None]
+            border_rj = GO + GE * max(d, 1)
+            S_d = jnp.where(is_r0 | is_j0, border_rj, S_d)
+            I_d = jnp.where(is_r0, NEG_INF,
+                            jnp.where(is_j0, border_rj, I_d))
+            D_d = jnp.where(is_j0, NEG_INF,
+                            jnp.where(is_r0, border_rj, D_d))
+            sb_d = jnp.where(is_r0, jnp.int8(OP_DEL),
+                             jnp.where(is_j0, jnp.int8(OP_INS), sb_d))
+            ib_d = jnp.where(is_j0,
+                             jnp.where((rows > 1)[:, None], jnp.int8(OP_INS),
+                                       jnp.int8(TB_START)), ib_d)
+            db_d = jnp.where(is_r0,
+                             jnp.where((j > 1)[:, None], jnp.int8(OP_DEL),
+                                       jnp.int8(TB_START)), db_d)
+            if d == 0:
+                S_d = jnp.where(is_r0, 0, S_d)
+                sb_d = jnp.where(is_r0, jnp.int8(TB_START), sb_d)
+
+            S_d = jnp.where(inb, S_d, NEG_INF)
+            I_d = jnp.where(inb, I_d, NEG_INF)
+            D_d = jnp.where(inb, D_d, NEG_INF)
+
+            tb_s_rows.append(sb_d)
+            tb_i_rows.append(ib_d)
+            tb_d_rows.append(db_d)
+            Sp, Ip, Dp, sbp, Sp2 = S_d, I_d, D_d, sb_d, Sp
+
+        tb_s_f = jnp.stack(tb_s_rows).reshape(ND * W, N)
+        tb_i_f = jnp.stack(tb_i_rows).reshape(ND * W, N)
+        tb_d_f = jnp.stack(tb_d_rows).reshape(ND * W, N)
+
+        its = jnp.arange(ms, dtype=I32)[:, None]              # (ms, 1)
+        mr = (k - 1) + jnp.broadcast_to(its, (ms, N))
+        mc = mr + 2
+
+        def tb_at(matf, r, j):
+            d = jnp.clip(r + j, 0, ND - 1)
+            return jnp.take_along_axis(
+                matf, d * W + jnp.clip(r, 0, Lr), axis=0)
+
+        ops_rev0 = jnp.full((T, ms, N), jnp.int8(TB_START))
+
+        def tb_step(t, st):
+            r, j, layer, nops, ops_rev = st
+            active = layer != TB_START
+            is_ins = layer == OP_INS
+            is_del = layer == OP_DEL
+            ops_rev = ops_rev.at[t].set(
+                jnp.where(active, layer, jnp.int8(TB_START)))
+            nxt = jnp.where(
+                is_ins, tb_at(tb_i_f, r, j),
+                jnp.where(is_del, tb_at(tb_d_f, r, j),
+                          tb_at(tb_s_f, r - 1, j - 1)))
+            r2 = jnp.where(active, jnp.where(is_del, r, r - 1), r)
+            j2 = jnp.where(active, jnp.where(is_ins, j, j - 1), j)
+            layer2 = jnp.where(active, nxt, layer)
+            nops2 = nops + active.astype(I32)
+            return (r2, j2, layer2, nops2, ops_rev)
+
+        layer0 = tb_at(tb_s_f, mr, mc)
+        st = (mr, mc, layer0, jnp.zeros((ms, N), I32), ops_rev0)
+        _r, _j, _l, nops, ops_rev = jax.lax.fori_loop(0, T, tb_step, st)
+        # ops_rev: (T, ms, N); axis 0 is the w/t axis of the per-lane code
+
+        w = jnp.arange(T, dtype=I32)[:, None, None]           # (T, 1, 1)
+        fwd_idx = jnp.clip(nops[None] - 1 - w, 0, T - 1)      # (T, ms, N)
+        opsF = jnp.take_along_axis(ops_rev, fwd_idx, axis=0)
+        in_ops = w < nops[None]
+        is_m = (opsF == OP_MATCH) & in_ops
+        contrib = jnp.where(opsF == OP_INS, 1,
+                            jnp.where(opsF == OP_DEL, -1, 0)) * in_ops
+        bl = k - 1
+        nxt_m = jnp.concatenate(
+            [is_m[1:], jnp.zeros((1, ms, N), bool)], axis=0)
+        pair = is_m & nxt_m & (w >= bl) & (w + 1 <= nops[None] - 1)
+        first_w = jnp.min(jnp.where(pair, w, T + 1), axis=0)  # (ms, N)
+        exists = jnp.any(pair, axis=0)
+        offset = jnp.sum(contrib * ((w >= bl) & (w < first_w[None])),
+                         axis=0, dtype=I32)
+        rev_ind = (ops_rev == OP_INS) | (ops_rev == OP_DEL)
+        rev_in = jnp.arange(T, dtype=I32)[:, None, None] < nops[None]
+        pref_ind = jnp.cumprod(
+            rev_ind | ~rev_in, axis=0).astype(bool) & rev_in
+        rev_contrib = jnp.where(ops_rev == OP_INS, 1,
+                                jnp.where(ops_rev == OP_DEL, -1, 0))
+        offset_corr = jnp.sum(rev_contrib * pref_ind, axis=0, dtype=I32)
+        off_align = offset - offset_corr                      # (ms, N)
+
+        checks = []
+        for it in range(ms):
+            km = wks[it + 1]
+            okc = (rem - it) >= nb
+            for t in range(nb):
+                km = add_nuc32(km, _code_at(codes, i + it + t), k)
+                okc = okc & probe(km)
+            checks.append(okc)
+        check = jnp.stack(checks)                             # (ms, N)
+
+        its2 = jnp.arange(ms, dtype=I32)[:, None]
+        ev_fail = (fail_step[None] == its2) | (rem[None] < its2)
+        acc = exists & check & ~ev_fail
+        event = ev_fail | acc
+        first_ev = jnp.min(jnp.where(event, its2, ms + 1), axis=0)  # (N,)
+        sel = (its2 == first_ev[None]) & acc                  # (ms, N)
+        ok = (nalts == 1) & jnp.any(sel, axis=0)
+
+        it_sel = jnp.sum(its2 * sel.astype(I32), axis=0, dtype=I32)
+        cnt = it_sel + 2
+        offs = jnp.sum(off_align * sel.astype(I32), axis=0, dtype=I32)
+        raw_consumed = cnt + offs
+        consumed = jnp.maximum(raw_consumed, 0)
+        cap = ok & (raw_consumed < 0)
+
+        new_kmer = jnp.zeros(N, U32)
+        for it in range(ms):
+            new_kmer = jnp.where(sel[it], wks[it + 1], new_kmer)
+
+        emit = jnp.zeros(N, dtype=U32)
+        for t in range(ms + 1):
+            emit = emit | jnp.where(t < cnt,
+                                    path[t].astype(U32) << _u(2 * t),
+                                    _u(0))
+        return AttemptOut3(ok, new_kmer, consumed, emit[:, None], cnt, cap)
+
+    return attempt
+
+
 # ---------------------------------------------------------------------------
 # Unique-successor de Bruijn walk, array-level and two-tier (u32 port of
 # engine2._walk_phase/_tiered_walk; semantics graph.rs:44-85).
@@ -871,10 +1094,8 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
             def attempt_block(i, reg, lenf, enabled):
                 return att_v(i, reg, lenf)
         elif strategy == "greedy":
-            att_v = jax.vmap(make_greedy_attempt32(probe, codes, k, ms, nb))
-
-            def attempt_block(i, reg, lenf, enabled):
-                return att_v(i, reg, lenf)
+            attempt_block = make_greedy_attempt32_arr(probe, codes, k, ms,
+                                                      nb)
         elif strategy == "graph":
             attempt_block = make_graph_attempt32_arr(probe, codes, k, err_fn)
         elif strategy == "gap-size":

@@ -102,3 +102,35 @@ def test_v3_long_reads_multi_chunk():
     methods = build_methods(FULL, solid, 5, 7)
     want = [correct_read(r, methods, two_side=False) for r in reads]
     assert got == want
+
+
+def test_greedy_arr_matches_perlane():
+    """The lane-last greedy attempt is bit-identical to the per-lane
+    (vmapped) implementation on random sites."""
+    import jax
+
+    from br_tpu.correct import device_codec as dc
+    from br_tpu.correct.engine3 import (
+        make_greedy_attempt32,
+        make_greedy_attempt32_arr,
+    )
+
+    rng = np.random.default_rng(11)
+    genome = rng.choice(np.frombuffer(b"ACTG", np.uint8),
+                        size=3000).tobytes()
+    solid = SolidSet.from_sequences([genome], K)
+    import jax.numpy as jnp
+
+    table = jnp.asarray(solid.device_words())
+    probe = dc.make_solid_probe_any(table, K)
+    codes = jnp.asarray((np.frombuffer(genome, np.uint8) >> 1) & 3)
+
+    N = 64
+    i = jnp.asarray(rng.integers(K, 2500, N).astype(np.int32))
+    km = jnp.asarray(rng.integers(0, 1 << (2 * K), N).astype(np.uint32))
+    ln = jnp.asarray(np.full(N, 2990, np.int32))
+
+    per = jax.vmap(make_greedy_attempt32(probe, codes, K, 7, 5))(i, km, ln)
+    arr = make_greedy_attempt32_arr(probe, codes, K, 7, 5)(i, km, ln)
+    for a, b, name in zip(per, arr, per._fields):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
