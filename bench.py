@@ -23,7 +23,7 @@ import time
 REF_FASTA = "/root/reference/tests/data/raw.fasta"
 K = int(os.environ.get("BENCH_K", "13"))
 ABUNDANCE = int(os.environ.get("BENCH_ABUNDANCE", "2"))
-REPEAT = int(os.environ.get("BENCH_REPEAT", "3"))
+REPEAT = int(os.environ.get("BENCH_REPEAT", "5"))
 CHAIN = ["one", "two", "graph", "greedy", "gap-size"]
 
 

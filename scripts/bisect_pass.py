@@ -31,7 +31,9 @@ def main():
     dev = [tuple(jax.device_put(x) for x in tc._chunk_arrays(reads, i, s))
            for i, s in plans]
 
-    for strat in ("one", "greedy"):
+    import os
+    strats = os.environ.get("BISECT_STRATS", "one,greedy").split(",")
+    for strat in strats:
         for cut in ("dense", "queue", None):
             fn = make_pass3_fn(K, strat, 5, 7, 5, CHUNK, R, _cut=cut)
             t0 = time.perf_counter()
