@@ -1445,14 +1445,14 @@ class Tpu3Corrector:
     cap -> exact host-oracle fallback); ONE compiled program per
     strategy plus one reversal program, reused for every batch."""
 
-    #: flat positions per chunk (static; one XLA program shape).  Chunk
-    #: size barely changes per-data EXECUTION cost (floor-subtracted:
-    #: `one` runs 35 ms per 2^18 of data at CHUNK=2^18 vs 31 ms at 2^20;
-    #: the apparent large gap was the ~26 ms readback floor, paid per
-    #: fetch, which the consolidated readback already amortizes), while
-    #: XLA-TPU compile time grows ~3x per 4x chunk (~18 s/program at
-    #: 2^18, ~55-70 s at 2^20).  2^18 keeps the cold-start bench fast.
-    CHUNK = 1 << 18
+    #: flat positions per chunk (static; one XLA program shape).
+    #: Measured e2e on the corpus (full chain + reverse, steady state):
+    #: 2^18 -> 6.9 s (12 chunks), 2^19 -> 5.3 s (6 chunks) — per-chunk
+    #: fixed costs (scans, dispatch, per-pass overheads) amortize with
+    #: chunk size, while compile only grows from ~100 s to ~127 s total
+    #: warmup.  2^20 compiles at ~55-70 s/program (r2's bench-timeout
+    #: culprit) — not worth the risk for the remaining gain.
+    CHUNK = 1 << 19
     #: read slots per chunk
     R = 256
 

@@ -104,9 +104,16 @@ def test_v3_long_reads_multi_chunk():
     assert got == want
 
 
+@pytest.mark.slow
 def test_greedy_arr_matches_perlane():
     """The lane-last greedy attempt is bit-identical to the per-lane
-    (vmapped) implementation on random sites."""
+    (vmapped) implementation on random sites.
+
+    Slow tier: compiling the superseded per-lane (vmapped) variant costs
+    ~200 s on CPU — 1/3 of the whole default suite — while the arr
+    variant's semantics are already covered by the oracle differentials
+    (test_v3_full_chain_reverse_pass and the greedy single-strategy
+    case) in the default tier."""
     import jax
 
     from br_tpu.correct import device_codec as dc
