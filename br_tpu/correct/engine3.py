@@ -175,9 +175,16 @@ class AttemptOut3(NamedTuple):
     cap: jax.Array       # engineered bound hit -> host oracle fallback
 
 
+#: the default br method chain; when a corrector is built with exactly
+#: this chain, the whole ladder fuses into ONE pass program (see
+#: make_ladder_attempt32).
+LADDER_CHAIN = ("one", "two", "graph", "greedy", "gap-size")
+
+
 def emit_words(strategy: str) -> int:
     return {"one": 1, "two": 1, "greedy": 1,
-            "graph": EW_WALK, "gap-size": EW_WALK}[strategy]
+            "graph": EW_WALK, "gap-size": EW_WALK,
+            "ladder": EW_WALK}[strategy]
 
 
 # ---------------------------------------------------------------------------
@@ -974,6 +981,70 @@ def make_gap_attempt32_arr(probe, codes, k: int, c: int, err_fn):
     return attempt
 
 
+def make_ladder_attempt32(probe, codes, k: int, c: int, ms: int, nb: int,
+                          err_fn):
+    """The full per-site strategy ladder, fused into one attempt.
+
+    Reference semantics directly: at an invalid transition the scan
+    machine tries each method of the chain in order and the FIRST whose
+    attempt succeeds is applied (/root/reference/src/correct/mod.rs:66-88
+    `corrections.iter().find_map`).  The per-strategy pass cascade the
+    corrector otherwise runs is equivalent only because repairs at
+    distinct sites commute; this fused form IS the reference order, and
+    pays the dense precompute + chain walk + splice once per direction
+    instead of five times.
+
+    All five attempts are evaluated vectorized on every lane and the
+    winner is selected by priority.  Cap semantics: if a strategy hits an
+    engineered bound (cap) at a site BEFORE any earlier strategy
+    succeeded, the true ladder outcome is unknowable on device -> the
+    site caps (host oracle fallback).  A cap in a strategy that the
+    ladder would never have consulted (an earlier one succeeded) is
+    masked out."""
+    one_v = jax.vmap(make_one_attempt32(probe, codes, k, c))
+    two_v = jax.vmap(make_two_attempt32(probe, codes, k, c))
+    graph_a = make_graph_attempt32_arr(probe, codes, k, err_fn)
+    greedy_a = make_greedy_attempt32_arr(probe, codes, k, ms, nb)
+    gap_a = make_gap_attempt32_arr(probe, codes, k, c, err_fn)
+    EWL = emit_words("ladder")
+
+    def pad_emit(emit):
+        n, ew = emit.shape
+        if ew == EWL:
+            return emit
+        return jnp.concatenate(
+            [emit, jnp.zeros((n, EWL - ew), U32)], axis=1)
+
+    def attempt(i, kmer, length, enabled):
+        outs = (one_v(i, kmer, length),
+                two_v(i, kmer, length),
+                graph_a(i, kmer, length, enabled),
+                greedy_a(i, kmer, length),
+                gap_a(i, kmer, length, enabled))
+        N = i.shape[0]
+        taken = jnp.zeros(N, bool)
+        ok = jnp.zeros(N, bool)
+        cap = jnp.zeros(N, bool)
+        new_kmer = jnp.zeros(N, U32)
+        consumed = jnp.zeros(N, I32)
+        cnt = jnp.zeros(N, I32)
+        emit = jnp.zeros((N, EWL), U32)
+        for o in outs:
+            ev = (o.ok | o.cap) & ~taken
+            pick_cap = ev & o.cap          # unknown outcome -> cap wins
+            pick_ok = ev & o.ok & ~o.cap
+            ok = ok | pick_ok
+            cap = cap | pick_cap
+            new_kmer = jnp.where(pick_ok, o.new_kmer, new_kmer)
+            consumed = jnp.where(pick_ok, o.consumed.astype(I32), consumed)
+            cnt = jnp.where(pick_ok, o.cnt.astype(I32), cnt)
+            emit = jnp.where(pick_ok[:, None], pad_emit(o.emit), emit)
+            taken = taken | ev
+        return AttemptOut3(ok, new_kmer, consumed, emit, cnt, cap)
+
+    return attempt
+
+
 # ---------------------------------------------------------------------------
 # The pass builder.
 # ---------------------------------------------------------------------------
@@ -1101,6 +1172,9 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
         elif strategy == "gap-size":
             attempt_block = make_gap_attempt32_arr(probe, codes, k, c,
                                                    err_fn)
+        elif strategy == "ladder":
+            attempt_block = make_ladder_attempt32(probe, codes, k, c, ms,
+                                                  nb, err_fn)
         else:
             raise ValueError(strategy)
 
@@ -1458,7 +1532,7 @@ class Tpu3Corrector:
 
     def __init__(self, valid_kmer, corrections, confirm: int,
                  max_search: int, chunk: int | None = None,
-                 nreads: int | None = None):
+                 nreads: int | None = None, fused: bool | None = None):
         from br_tpu.set.solid import SolidSet
 
         _check_k(valid_kmer.k)
@@ -1470,6 +1544,16 @@ class Tpu3Corrector:
         self.ms = max_search
         self.corrections = [s.lower().replace("_", "-")
                             for s in corrections]
+        # the default chain fuses into ONE ladder pass program per
+        # direction (reference per-site method order; ~3x fewer
+        # dense/chain/splice stages).  `fused=False` forces the
+        # per-strategy pass cascade (kept for arbitrary sub-chains and
+        # as a differential-test target).
+        if fused is None:
+            fused = tuple(self.corrections) == LADDER_CHAIN
+        elif fused and tuple(self.corrections) != LADDER_CHAIN:
+            raise ValueError("fused=True requires the full default chain")
+        self._chain_plan = ["ladder"] if fused else self.corrections
         self.valid_kmer = valid_kmer
         self.table = jax.device_put(valid_kmer.device_words())
         if chunk is not None:
@@ -1537,7 +1621,7 @@ class Tpu3Corrector:
         host cores); call before timing or to overlap with host work."""
         from concurrent.futures import ThreadPoolExecutor
 
-        fns = [self._get_pass(st) for st in self.corrections]
+        fns = [self._get_pass(st) for st in self._chain_plan]
         if not two_side:
             fns.append(self._get_reverse())
         CHUNK, R = self.CHUNK, self.R
@@ -1630,7 +1714,7 @@ class Tpu3Corrector:
         rev_fn = self._get_reverse()
 
         def run_chain(a, n, cap_any):
-            for strat in self.corrections:
+            for strat in self._chain_plan:
                 fn = self._get_pass(strat)
                 a, n, cap, _aux = fn(self.table, a, rs, n)
                 cap_any = cap_any | cap
@@ -1652,13 +1736,13 @@ class Tpu3Corrector:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         key = ("v3sh", id(self.mesh), two_side, self.CHUNK, self.R,
-               tuple(self.corrections))
+               tuple(self._chain_plan))
         fn = _FN_CACHE.get(key)
         if fn is not None:
             return fn
 
         mesh = self.mesh
-        passfns = [self._get_pass(st) for st in self.corrections]
+        passfns = [self._get_pass(st) for st in self._chain_plan]
         rev_fn = self._get_reverse()
 
         def local_chain(table, a, rs, n):

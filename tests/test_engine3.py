@@ -22,7 +22,7 @@ FULL = ["one", "two", "graph", "greedy", "gap-size"]
 
 
 def _fuzz_case(chain, seed, n_reads=16, err=3, two_side=True,
-               impure=False):
+               impure=False, fused=None):
     rng = np.random.default_rng(seed)
     genome = rng.choice(np.frombuffer(b"ACTG", np.uint8),
                         size=4000).tobytes()
@@ -50,7 +50,7 @@ def _fuzz_case(chain, seed, n_reads=16, err=3, two_side=True,
         reads[0] = bytes(r)
 
     tc = Tpu3Corrector(solid, chain, confirm=5, max_search=7,
-                       chunk=1 << 14, nreads=32)
+                       chunk=1 << 14, nreads=32, fused=fused)
     got = tc.correct_batch(reads, two_side)
     methods = build_methods(chain, solid, 5, 7)
     want = [correct_read(r, methods, two_side) for r in reads]
@@ -58,8 +58,15 @@ def _fuzz_case(chain, seed, n_reads=16, err=3, two_side=True,
 
 
 def test_v3_full_chain_reverse_pass():
-    """Default-tier flagship coverage: all 5 strategies + reverse pass."""
+    """Default-tier flagship coverage: the fused ladder pass (the
+    production path for the default chain) + reverse pass."""
     _fuzz_case(FULL, seed=9, err=6, two_side=False)
+
+
+def test_v3_cascade_matches_oracle():
+    """The per-strategy pass cascade (fused=False; the path arbitrary
+    sub-chains use) against the oracle on the same case."""
+    _fuzz_case(FULL, seed=9, err=6, two_side=False, fused=False)
 
 
 def test_v3_impure_reads_route_to_oracle():
