@@ -97,6 +97,14 @@ def main():
         "bit_exact_vs_cpu": mismatch == 0,
         "mismatches": mismatch,
     }
+    # auditable host/device split (VERDICT r3 item 4): how much of the
+    # headline number was actually corrected on the chip
+    stats = getattr(tc, "last_stats", None)
+    if stats:
+        result["fallback_reads"] = stats["fallback"]
+        result["fallback_capped"] = stats["capped"]
+        result["fallback_impure"] = stats["impure"]
+        result["fallback_frac"] = round(stats["fallback"] / stats["total"], 4)
     print(json.dumps(result))
     return 0
 

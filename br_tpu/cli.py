@@ -81,7 +81,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-T", "--timestamp", choices=("sec", "ms", "ns", "none"),
                    default="none")
     p.add_argument("--backend",
-                   choices=("auto", "jax", "jax-v1", "native", "oracle"),
+                   choices=("auto", "jax", "native", "oracle"),
                    default="auto", help="correction backend")
     p.add_argument("--line-width", type=int, default=80,
                    help="FASTA output wrap width (0 = single line)")
@@ -97,7 +97,11 @@ def build_parser() -> argparse.ArgumentParser:
             s = sel.add_parser(name)
             s.add_argument("percent", type=float)
 
-    c = sub.add_parser("count", help="build the solid set from a count file")
+    c = sub.add_parser(
+        "count",
+        help="build the solid set from a count file (br_tpu's own "
+             "gzip(k||counts) artifact; real pcon count files are an "
+             "unverified format here and are rejected)")
     c.add_argument("-i", "--inputs", required=True, dest="count_input")
     c.add_argument("-a", "--abundance", type=int)
     add_abundance_selection(c)

@@ -1,4 +1,13 @@
-"""The TPU correction engine.
+"""The v1 TPU correction engine — RETAINED AS A DIFFERENTIAL TARGET ONLY.
+
+Scope (VERDICT r3 item 10): superseded by v2 (bucketed, hash-set-capable)
+and v3 (flat-packed, the production path) on every production route and
+no longer reachable from the CLI or `make_corrector`.  It stays because
+its small-shape pass programs compile in seconds on CPU, which makes it
+the only device engine cheap enough to run the ENTIRE ported reference
+catalog against the oracle (tests/test_engine.py) — an independent
+third implementation of the scan/repair semantics that cross-checks
+v2/v3 and the native engine.
 
 TPU-first re-design of the reference's per-read scan-and-fix state machine
 (src/correct/mod.rs:53-107) for batched execution:

@@ -175,9 +175,9 @@ class AttemptOut3(NamedTuple):
     cap: jax.Array       # engineered bound hit -> host oracle fallback
 
 
-#: the default br method chain; when a corrector is built with exactly
-#: this chain, the whole ladder fuses into ONE pass program (see
-#: make_ladder_attempt32).
+#: the default br method chain; `fused=True` (opt-in, experimental —
+#: NOT reference semantics, see make_ladder_attempt32) collapses exactly
+#: this chain into one per-site ladder pass program.
 LADDER_CHAIN = ("one", "two", "graph", "greedy", "gap-size")
 
 
@@ -985,14 +985,19 @@ def make_ladder_attempt32(probe, codes, k: int, c: int, ms: int, nb: int,
                           err_fn):
     """The full per-site strategy ladder, fused into one attempt.
 
-    Reference semantics directly: at an invalid transition the scan
-    machine tries each method of the chain in order and the FIRST whose
-    attempt succeeds is applied (/root/reference/src/correct/mod.rs:66-88
-    `corrections.iter().find_map`).  The per-strategy pass cascade the
-    corrector otherwise runs is equivalent only because repairs at
-    distinct sites commute; this fused form IS the reference order, and
-    pays the dense precompute + chain walk + splice once per direction
-    instead of five times.
+    EXPERIMENTAL — NOT the reference semantics.  The reference applies
+    each strategy as a sequential full-read pass:
+    `methods.iter().for_each(|x| correct = x.correct(&correct))`
+    (/root/reference/src/lib.rs:106-108).  This ladder instead resolves
+    each site with the first strategy that succeeds there, in chain
+    order.  The two plans agree only when no repair's confirmation /
+    lookahead window reaches the next error site (roughly: error
+    spacing >= k and confirm/max_search windows < k); on repeat-rich
+    real reads they diverge (measured: 50/80 corpus reads at k=11).
+    Kept as an opt-in (`fused=True`) optimization and differential
+    target; the cascade is the default and the bit-exactness contract.
+    It pays the dense precompute + chain walk + splice once per
+    direction instead of five times.
 
     All five attempts are evaluated vectorized on every lane and the
     winner is selected by priority.  Cap semantics: if a strategy hits an
@@ -1544,13 +1549,18 @@ class Tpu3Corrector:
         self.ms = max_search
         self.corrections = [s.lower().replace("_", "-")
                             for s in corrections]
-        # the default chain fuses into ONE ladder pass program per
-        # direction (reference per-site method order; ~3x fewer
-        # dense/chain/splice stages).  `fused=False` forces the
-        # per-strategy pass cascade (kept for arbitrary sub-chains and
-        # as a differential-test target).
+        # The reference applies each strategy as a FULL-READ pass in
+        # sequence: `methods.iter().for_each(|x| correct = x.correct(..))`
+        # (/root/reference/src/lib.rs:106-108).  That cascade is what we
+        # run by default — it is the bit-exact semantics.  `fused=True`
+        # opts into the experimental per-site first-success ladder
+        # (make_ladder_attempt32), which pays the dense/chain/splice
+        # stages once per direction instead of five times but is only
+        # equivalent to the cascade when repair windows cannot span the
+        # next error site; it diverges on repeat-rich real reads
+        # (measured: 50/80 corpus reads at k=11).  Never the default.
         if fused is None:
-            fused = tuple(self.corrections) == LADDER_CHAIN
+            fused = False
         elif fused and tuple(self.corrections) != LADDER_CHAIN:
             raise ValueError("fused=True requires the full default chain")
         self._chain_plan = ["ladder"] if fused else self.corrections
@@ -1652,6 +1662,7 @@ class Tpu3Corrector:
             i for i, s in enumerate(seqs)
             if not _PURE_LUT[np.frombuffer(s, np.uint8)].all()
         }
+        n_impure = len(impure)
         plans = self._plan(seqs, impure)
         if self.mesh is not None:
             handles = self._dispatch_sharded(seqs, plans, two_side)
@@ -1677,6 +1688,15 @@ class Tpu3Corrector:
                 else:
                     lo = starts[b]
                     out[i] = _DECODE[codes[lo : lo + n_np[b]]].tobytes()
+        #: auditable host/device split for the last batch (VERDICT r3
+        #: item 4): reads the device could not finish (capped) plus reads
+        #: never sent (impure bytes) are re-corrected on the host.
+        self.last_stats = {
+            "total": len(seqs),
+            "fallback": len(fb_idx),
+            "impure": n_impure,
+            "capped": len(fb_idx) - n_impure,
+        }
         if fb_idx:
             fixed = self._oracle_correct_many(
                 [seqs[i] for i in fb_idx], two_side)

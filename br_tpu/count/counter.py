@@ -16,6 +16,7 @@ Count-file format [inferred — no pcon source or asset available to verify]:
 from __future__ import annotations
 
 import gzip
+import zlib
 from typing import Iterable
 
 import numpy as np
@@ -79,10 +80,37 @@ class Counter:
 
     @classmethod
     def from_stream(cls, stream) -> "Counter":
+        """Load a count artifact written by :meth:`to_stream`.
+
+        The format is [inferred] and NOT verified against real pcon
+        output (no pcon source/asset in this environment) — so validate
+        structurally and fail loudly on anything that doesn't match
+        ``gzip(k: u8 || 2^(2k-1) count bytes)`` rather than silently
+        mis-loading a foreign file (VERDICT r3 item 9)."""
+        from br_tpu.errors import CountFileFormatError
+
         data = stream.read()
         if data[:2] == b"\x1f\x8b":
-            data = gzip.decompress(data)
+            try:
+                data = gzip.decompress(data)
+            except (OSError, EOFError, zlib.error) as e:
+                raise CountFileFormatError(
+                    f"count file: corrupt gzip stream: {e}") from e
+        if not data:
+            raise CountFileFormatError("count file: empty payload")
         k = data[0]
+        if k % 2 == 0 or not 1 <= k <= 31:
+            raise CountFileFormatError(
+                f"count file: header k={k} is not an odd k in 1..=31 — "
+                "not a br_tpu count artifact (note: the real pcon count "
+                "format is unverified here and NOT supported)")
+        want = 1 << (2 * k - 1)
+        if len(data) - 1 != want:
+            raise CountFileFormatError(
+                f"count file: payload is {len(data) - 1} bytes but k={k} "
+                f"implies 2^(2k-1) = {want} canonical counts — "
+                "not a br_tpu count artifact (note: the real pcon count "
+                "format is unverified here and NOT supported)")
         counts = np.frombuffer(data[1:], dtype=np.uint8).copy()
         return cls(k, counts)
 

@@ -47,6 +47,15 @@ class AbundanceThresholdOrAbundanceMethod(BrError):
         )
 
 
+class CountFileFormatError(BrError):
+    """A count artifact failed structural validation (our own check —
+    the reference trusts pcon's deserializer, src/main.rs:60-70).
+
+    The on-disk format here is [inferred] ``gzip(k: u8 || counts)``; a
+    genuine pcon file (or any foreign blob) must fail loudly instead of
+    silently mis-loading as garbage counts (VERDICT r3 item 9)."""
+
+
 class SolidRequireKmerSize(BrError):
     """src/error.rs:40-42."""
 

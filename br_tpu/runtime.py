@@ -95,7 +95,7 @@ def make_corrector(valid_kmer, corrections, confirm, max_search,
     """Pick a batch corrector backend."""
     if backend == "auto":
         try:
-            from br_tpu.correct.engine import TpuCorrector  # noqa: F401
+            from br_tpu.correct.engine3 import Tpu3Corrector  # noqa: F401
 
             backend = "jax"
         except Exception:  # pragma: no cover - jax always present in CI
@@ -114,10 +114,6 @@ def make_corrector(valid_kmer, corrections, confirm, max_search,
         from br_tpu.correct.engine2 import Tpu2Corrector
 
         return Tpu2Corrector(valid_kmer, corrections, confirm, max_search)
-    if backend == "jax-v1":
-        from br_tpu.correct.engine import TpuCorrector
-
-        return TpuCorrector(valid_kmer, corrections, confirm, max_search)
     if backend == "native":
         from br_tpu.native import NativeCorrector
 

@@ -18,7 +18,7 @@ def test_backends_agree_on_corpus_subset():
     """jax engine == native engine == scalar oracle on real reads,
     full default chain, k=11 bundled solid set."""
     from br_tpu.correct import build_methods, correct_read
-    from br_tpu.correct.engine import TpuCorrector
+    from br_tpu.correct.engine3 import Tpu3Corrector
     from br_tpu.native import NativeCorrector
     from br_tpu.set.solid import SolidSet
 
@@ -27,7 +27,7 @@ def test_backends_agree_on_corpus_subset():
     reads = _reads(limit=8)
 
     nc = NativeCorrector(solid, chain, 5, 7)
-    tc = TpuCorrector(solid, chain, 5, 7)
+    tc = Tpu3Corrector(solid, chain, 5, 7, chunk=1 << 15, nreads=8)
     native = nc.correct_batch(reads, two_side=False)
     device = tc.correct_batch(reads, two_side=False)
     assert device == native

@@ -37,6 +37,29 @@ def test_counter_roundtrip(tmp_path):
     assert np.array_equal(loaded.raw(), c.raw())
 
 
+def test_counter_rejects_foreign_count_file():
+    """A malformed / foreign count artifact must fail with a typed error,
+    not silently mis-load (VERDICT r3 item 9)."""
+    import gzip
+
+    from br_tpu.errors import CountFileFormatError
+
+    # truncated payload: header says k=5 but counts are missing
+    bad = gzip.compress(bytes([5]) + b"\x00" * 17)
+    with pytest.raises(CountFileFormatError):
+        Counter.from_stream(io.BytesIO(bad))
+    # even / out-of-range k byte (what a foreign binary header looks like)
+    bad = gzip.compress(bytes([76]) + b"\x00" * 100)
+    with pytest.raises(CountFileFormatError):
+        Counter.from_stream(io.BytesIO(bad))
+    # corrupt gzip
+    with pytest.raises(CountFileFormatError):
+        Counter.from_stream(io.BytesIO(b"\x1f\x8bgarbage"))
+    # empty
+    with pytest.raises(CountFileFormatError):
+        Counter.from_stream(io.BytesIO(gzip.compress(b"")))
+
+
 def test_spectrum_first_minimum():
     # classic shape: error peak at 1, dip at 3, coverage peak at 8
     hist = np.array([0, 100, 40, 10, 20, 40, 60, 80, 90, 50, 10])

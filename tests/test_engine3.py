@@ -21,19 +21,42 @@ K = 13
 FULL = ["one", "two", "graph", "greedy", "gap-size"]
 
 
+_RC = bytes.maketrans(b"ACGT", b"TGCA")
+
+
+def _repeat_rich_genome(rng, size=4000):
+    """A genome with tandem and inverted repeats.
+
+    Uniform-random genomes have essentially no repeated k-mers, so the
+    de Bruijn walks never branch and every strategy resolves trivially —
+    exactly the regime where the round-3 fused-ladder regression passed
+    fuzz but broke on the real corpus.  Tandem units (period > k) and a
+    reverse-complement block (canonical-set collisions) create the branch
+    ambiguity that distinguishes execution plans (VERDICT r3 item 7)."""
+    bases = np.frombuffer(b"ACTG", np.uint8)
+    core = rng.choice(bases, size=size).tobytes()
+    unit = rng.choice(bases, size=K + 8).tobytes()      # tandem, period > k
+    rc_block = core[500:1200][::-1].translate(_RC)       # inverted repeat
+    g = (core[:800] + unit * 6 + core[800:2000] + rc_block
+         + core[2000:2600] + unit * 4 + core[2600:])
+    return g
+
+
 def _fuzz_case(chain, seed, n_reads=16, err=3, two_side=True,
-               impure=False, fused=None):
+               impure=False, fused=None, genome=None,
+               cluster_gap=None):
     rng = np.random.default_rng(seed)
-    genome = rng.choice(np.frombuffer(b"ACTG", np.uint8),
-                        size=4000).tobytes()
+    if genome is None:
+        genome = rng.choice(np.frombuffer(b"ACTG", np.uint8),
+                            size=4000).tobytes()
     solid = SolidSet.from_sequences([genome], K)
     reads = []
     for _ in range(n_reads):
-        lo = rng.integers(0, 3600)
+        lo = rng.integers(0, len(genome) - 420)
         ln = int(rng.integers(2 * K + 10, 400))
         r = bytearray(genome[lo : lo + ln])
-        for _ in range(err):
-            p = rng.integers(K + 2, len(r) - K - 2)
+
+        def plant(p):
             op = rng.integers(3)
             if op == 0:
                 r[p] = ord("ACTG"[rng.integers(4)])
@@ -41,6 +64,18 @@ def _fuzz_case(chain, seed, n_reads=16, err=3, two_side=True,
                 del r[p]
             else:
                 r.insert(p, ord("ACTG"[rng.integers(4)]))
+
+        if cluster_gap is not None:
+            # pairs of errors a fixed distance apart (e.g. just over k),
+            # so one repair's confirmation window can reach the next
+            # error site (ADVICE r3 item 3)
+            for _ in range(err):
+                p = int(rng.integers(K + 2, len(r) - K - 2 - cluster_gap))
+                plant(p + cluster_gap)
+                plant(p)
+        else:
+            for _ in range(err):
+                plant(int(rng.integers(K + 2, len(r) - K - 2)))
         reads.append(bytes(r))
     if impure:
         # lowercase + N bytes must route to the host oracle verbatim
@@ -58,15 +93,17 @@ def _fuzz_case(chain, seed, n_reads=16, err=3, two_side=True,
 
 
 def test_v3_full_chain_reverse_pass():
-    """Default-tier flagship coverage: the fused ladder pass (the
-    production path for the default chain) + reverse pass."""
+    """Default-tier flagship coverage: the per-strategy pass cascade
+    (the production path — reference semantics, lib.rs:106-108) +
+    reverse pass."""
     _fuzz_case(FULL, seed=9, err=6, two_side=False)
 
 
-def test_v3_cascade_matches_oracle():
-    """The per-strategy pass cascade (fused=False; the path arbitrary
-    sub-chains use) against the oracle on the same case."""
-    _fuzz_case(FULL, seed=9, err=6, two_side=False, fused=False)
+def test_v3_ladder_optin_on_sparse_errors():
+    """The experimental fused ladder (opt-in via fused=True) still
+    matches the oracle when errors are sparse enough that per-site
+    resolution and the pass cascade agree.  NOT the production path."""
+    _fuzz_case(FULL, seed=9, err=6, two_side=False, fused=True)
 
 
 def test_v3_impure_reads_route_to_oracle():
@@ -82,9 +119,36 @@ def test_v3_single_strategies(chain):
     _fuzz_case(chain, seed=42)
 
 
+def test_v3_repeat_rich_genome():
+    """DEFAULT tier: production path on a tandem/inverted-repeat genome —
+    the input class where the round-3 regression hid from uniform fuzz.
+    Same engine config as the other default-tier cases (shared compile)."""
+    rng = np.random.default_rng(123)
+    g = _repeat_rich_genome(rng)
+    _fuzz_case(FULL, seed=123, err=5, two_side=False, genome=g)
+
+
+def test_v3_repeat_rich_clustered_errors():
+    """DEFAULT tier: error pairs planted k+1 apart on the repeat-rich
+    genome, so repair confirmation windows span the next error site
+    (ADVICE r3 item 3's distinguishing regime) — production cascade vs
+    oracle."""
+    rng = np.random.default_rng(321)
+    g = _repeat_rich_genome(rng)
+    _fuzz_case(FULL, seed=321, err=2, two_side=False, genome=g,
+               cluster_gap=K + 1)
+
+
 @pytest.mark.slow
 def test_v3_dense_errors():
     _fuzz_case(FULL, seed=77, n_reads=24, err=10, two_side=False)
+
+
+@pytest.mark.slow
+def test_v3_repeat_rich_two_side():
+    rng = np.random.default_rng(55)
+    g = _repeat_rich_genome(rng, size=6000)
+    _fuzz_case(FULL, seed=55, n_reads=24, err=6, two_side=True, genome=g)
 
 
 @pytest.mark.slow
