@@ -20,6 +20,13 @@ import os
 import sys
 import time
 
+# Persistent XLA compile cache (cold-start killer: ~8 min of remote
+# compiles on first run, ~seconds after).  Single-threaded writes are
+# safe (verified r4); the r3 deadlock occurred with CONCURRENT compiles,
+# so warmup below runs serial when the cache is active.
+os.environ.setdefault("BR_TPU_JAX_CACHE",
+                      os.path.expanduser("~/.cache/br_tpu_jax"))
+
 REF_FASTA = "/root/reference/tests/data/raw.fasta"
 K = int(os.environ.get("BENCH_K", "13"))
 ABUNDANCE = int(os.environ.get("BENCH_ABUNDANCE", "2"))
@@ -53,13 +60,27 @@ def main():
     from br_tpu.native import NativeCorrector
     from br_tpu.runtime import make_corrector
 
-    tc = make_corrector(solid, CHAIN, confirm=5, max_search=7,
-                        backend="jax")
+    if K > 15:
+        # k=17: the 1 GiB bitfield is built ON DEVICE (count + threshold
+        # + bitpack in HBM, br_tpu/set/device_build.py) — a host->device
+        # transfer of the table would take ~18 min at relay bandwidth.
+        from br_tpu.correct.engine3 import Tpu3Corrector
+        from br_tpu.set.device_build import build_solid_words_on_device
+
+        words = build_solid_words_on_device(reads, K, ABUNDANCE)
+        tc = Tpu3Corrector(solid, CHAIN, confirm=5, max_search=7,
+                           table=words)
+    else:
+        tc = make_corrector(solid, CHAIN, confirm=5, max_search=7,
+                            backend="jax")
     nc = NativeCorrector(solid, CHAIN, confirm=5, max_search=7)
 
     # Cold-start: compile every pass program (one per strategy + reverse).
+    # Serial when the persistent cache is on — concurrent cache writes
+    # can deadlock this jax build (device_codec.py).
     t0 = time.perf_counter()
-    tc.warmup(two_side=False)
+    tc.warmup(two_side=False,
+              parallel=not os.environ.get("BR_TPU_JAX_CACHE"))
     t_compile = time.perf_counter() - t0
 
     # CPU baseline (single timed run; the pool uses all cores).

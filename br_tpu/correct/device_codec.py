@@ -16,11 +16,11 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compile cache: OFF by default.  The jax build in this image
-# can deadlock inside the cache-write path (compilation_cache.py
-# combine_executable_and_time hangs on a futex), and v3 compiles are
-# cheap (one program per strategy, seconds each).  Opt back in with
-# BR_TPU_JAX_CACHE=/path.
+# Persistent compile cache: opt-in via BR_TPU_JAX_CACHE=/path (bench.py
+# sets it by default).  The r3 deadlock (compilation_cache.py
+# combine_executable_and_time hanging on a futex) reproduced only with
+# CONCURRENT compiles; single-threaded cache writes are safe (verified
+# on-chip r4), so warmup runs serial whenever the cache is active.
 _cache_dir = os.environ.get("BR_TPU_JAX_CACHE")
 if _cache_dir:  # pragma: no cover - opt-in
     try:

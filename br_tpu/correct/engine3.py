@@ -11,7 +11,8 @@ Third redesign of the batched corrector, driven by two r2/r3 findings:
   per-read (start, len) table, so each strategy is a single compiled
   program reused for every batch, and all k-mer math is uint32.  The
   u32 walk machinery needs a sentinel value above every real k-mer, so
-  v3 requires 2k <= 30, i.e. k <= 15 (the headline range); larger k
+  v3 natively covers k <= 15 in u32 registers and k = 17 in u64
+  (the largest odd k whose solid bitfield fits HBM: 1 GiB); larger k
   falls back to the v2 engine.
 * **Pad waste** — 2x length buckets waste ~25-50% of every chunk; flat
   packing wastes only the per-read splice slack (~12%).
@@ -92,6 +93,12 @@ NEG_INF = np.int32(-(1 << 20))
 #: u32 sentinel for walk histories; above every k-mer because k <= 15.
 SENT32 = np.uint32(0xFFFFFFFF)
 
+
+def _sent(k: int):
+    """All-ones walk-history sentinel in the register dtype (above every
+    2k-bit k-mer)."""
+    return SENT32 if k <= 15 else np.uint64(0xFFFFFFFFFFFFFFFF)
+
 # traceback layer codes (greedy DP)
 OP_MATCH, OP_SUBST, OP_DEL, OP_INS, TB_START = 0, 1, 2, 3, 4
 
@@ -107,20 +114,29 @@ def _u(x):
     return jnp.uint32(x)
 
 
+def reg_dtype(k: int):
+    """Register dtype for the rolling k-mer: u32 through k=15 (2k+sentinel
+    fits 32 bits), u64 beyond (k=17 is the largest odd k whose solid
+    bitfield still fits HBM: 2^33 bits = 1 GiB)."""
+    return U32 if k <= 15 else jnp.uint64
+
+
 def _mask(k: int):
-    return jnp.uint32((1 << (2 * k)) - 1)
+    return reg_dtype(k)((1 << (2 * k)) - 1)
 
 
 def add_nuc32(kmer, code, k: int):
-    """Rolling k-mer update in uint32 (2k <= 30)."""
-    return ((kmer << _u(2)) & _mask(k)) ^ code.astype(U32)
+    """Rolling k-mer update; dtype follows the register (u32 for k <= 15,
+    u64 for k = 17)."""
+    t = kmer.dtype.type
+    return ((kmer << t(2)) & t((1 << (2 * k)) - 1)) ^ code.astype(kmer.dtype)
 
 
 def _check_k(k: int):
-    if not (1 <= k <= 15):
+    if not (1 <= k <= 17):
         raise ValueError(
-            f"engine3 requires k <= 15 (u32 k-mers plus a sentinel bit "
-            f"above mask(k)); got k={k}.  Use the v2 engine for larger k.")
+            f"engine3 requires k <= 17 (a solid bitfield that fits HBM); "
+            f"got k={k}.  Use the v2 engine (hash set) for larger k.")
 
 
 def _code_at(codes, idx):
@@ -236,7 +252,8 @@ def make_one_attempt32(probe, codes, k: int, c: int):
         ok = (nalts == 1) & ((nk == 1) | ((nk > 1) & (nk2 == 1)))
         offset = jnp.sum(jnp.arange(3, dtype=I32) * sel.astype(I32), dtype=I32)
 
-        emit = jnp.zeros(1, dtype=U32).at[0].set(corr & _u(3))
+        emit = jnp.zeros(1, dtype=U32).at[0].set(
+            (corr & _u(3)).astype(U32))
         return AttemptOut3(ok, corr, offset, emit, jnp.int32(1),
                            jnp.bool_(False))
 
@@ -337,7 +354,7 @@ def make_two_attempt32(probe, codes, k: int, c: int):
             bases = EMITS[name](km2)
             ew = jnp.zeros((), dtype=U32)
             for t, b in enumerate(bases):
-                ew = ew | (b << _u(2 * t))
+                ew = ew | (b.astype(U32) << _u(2 * t))
             emit_word_l.append(ew)
             emit_cnts.append(len(bases))
             offs_c.append(off_c)
@@ -367,7 +384,8 @@ def make_two_attempt32(probe, codes, k: int, c: int):
         consumed = jnp.sum(jnp.array(offs_c, dtype=I32) * selI, dtype=I32)
         cnt = jnp.sum(jnp.array(emit_cnts, dtype=I32) * selI, dtype=I32)
         emit0 = jnp.sum(jnp.stack(emit_word_l) * selU, dtype=U32)
-        new_kmer = jnp.sum(jnp.stack(new_kmers) * selU, dtype=U32)
+        new_kmer = jnp.sum(jnp.stack(new_kmers) * sel.astype(kmer.dtype),
+                           dtype=kmer.dtype)
 
         emit = jnp.zeros(1, dtype=U32).at[0].set(emit0)
         return AttemptOut3(ok, new_kmer, consumed, emit, cnt,
@@ -587,7 +605,7 @@ def make_greedy_attempt32(probe, codes, k: int, ms: int, nb: int):
         consumed = jnp.maximum(raw_consumed, 0)
         cap = ok & (raw_consumed < 0)
 
-        new_kmer = jnp.zeros((), U32)
+        new_kmer = jnp.zeros((), kmer.dtype)
         for it in range(ms):
             new_kmer = jnp.where(sel[it], wks[it + 1], new_kmer)
 
@@ -662,7 +680,10 @@ def make_greedy_attempt32_arr(probe, codes, k: int, ms: int, nb: int):
             return jnp.concatenate(
                 [jnp.full((1, N), fill, v.dtype), v[:-1]], axis=0)
 
-        neg = jnp.full((W, N), NEG_INF, dtype=I32)
+        # i16 scores: |score| <= T+2 and the -2^14 sentinel stay well in
+        # range; halves the DP wavefront bytes (the body is bytes-bound)
+        NEG16 = np.int16(-(1 << 14))
+        neg = jnp.full((W, N), NEG16, dtype=jnp.int16)
         Sp, Ip, Dp, Sp2 = neg, neg, neg, neg
         sbp = jnp.zeros((W, N), jnp.int8)
         tb_s_rows, tb_i_rows, tb_d_rows = [], [], []
@@ -671,22 +692,22 @@ def make_greedy_attempt32_arr(probe, codes, k: int, ms: int, nb: int):
             j = d - rows                                      # host ints (W,)
             inb = ((j >= 0) & (j <= Lc))[:, None]
 
-            i_ext = shift1(Ip, NEG_INF) + GE
-            i_opn = shift1(Sp, NEG_INF) + OE
+            i_ext = shift1(Ip, NEG16) + jnp.int16(GE)
+            i_opn = shift1(Sp, NEG16) + jnp.int16(OE)
             I_d = jnp.maximum(i_ext, i_opn)
             ib_d = jnp.where(i_ext > i_opn, jnp.int8(OP_INS),
                              shift1(sbp, jnp.int8(TB_START)))
 
-            d_ext = Dp + GE
-            d_opn = Sp + OE
+            d_ext = Dp + jnp.int16(GE)
+            d_opn = Sp + jnp.int16(OE)
             D_d = jnp.maximum(d_ext, d_opn)
             db_d = jnp.where(d_ext > d_opn, jnp.int8(OP_DEL), sbp)
 
             yc = c_full[np.clip(j - 1, 0, Lc - 1)]            # (W, N) static
-            msc = jnp.where(xr_all == yc, 1, -1)
+            msc = jnp.where(xr_all == yc, jnp.int16(1), jnp.int16(-1))
             mbit = jnp.where(xr_all == yc, jnp.int8(OP_MATCH),
                              jnp.int8(OP_SUBST))
-            m_val = shift1(Sp2, NEG_INF) + msc
+            m_val = shift1(Sp2, NEG16) + msc
 
             S_d = m_val
             sb_d = mbit
@@ -698,11 +719,11 @@ def make_greedy_attempt32_arr(probe, codes, k: int, ms: int, nb: int):
 
             is_r0 = (rows == 0)[:, None]
             is_j0 = (j == 0)[:, None]
-            border_rj = GO + GE * max(d, 1)
+            border_rj = np.int16(GO + GE * max(d, 1))
             S_d = jnp.where(is_r0 | is_j0, border_rj, S_d)
-            I_d = jnp.where(is_r0, NEG_INF,
+            I_d = jnp.where(is_r0, NEG16,
                             jnp.where(is_j0, border_rj, I_d))
-            D_d = jnp.where(is_j0, NEG_INF,
+            D_d = jnp.where(is_j0, NEG16,
                             jnp.where(is_r0, border_rj, D_d))
             sb_d = jnp.where(is_r0, jnp.int8(OP_DEL),
                              jnp.where(is_j0, jnp.int8(OP_INS), sb_d))
@@ -713,30 +734,40 @@ def make_greedy_attempt32_arr(probe, codes, k: int, ms: int, nb: int):
                              jnp.where((j > 1)[:, None], jnp.int8(OP_DEL),
                                        jnp.int8(TB_START)), db_d)
             if d == 0:
-                S_d = jnp.where(is_r0, 0, S_d)
+                S_d = jnp.where(is_r0, np.int16(0), S_d)
                 sb_d = jnp.where(is_r0, jnp.int8(TB_START), sb_d)
 
-            S_d = jnp.where(inb, S_d, NEG_INF)
-            I_d = jnp.where(inb, I_d, NEG_INF)
-            D_d = jnp.where(inb, D_d, NEG_INF)
+            S_d = jnp.where(inb, S_d, NEG16)
+            I_d = jnp.where(inb, I_d, NEG16)
+            D_d = jnp.where(inb, D_d, NEG16)
 
             tb_s_rows.append(sb_d)
             tb_i_rows.append(ib_d)
             tb_d_rows.append(db_d)
             Sp, Ip, Dp, sbp, Sp2 = S_d, I_d, D_d, sb_d, Sp
 
-        tb_s_f = jnp.stack(tb_s_rows).reshape(ND * W, N)
-        tb_i_f = jnp.stack(tb_i_rows).reshape(ND * W, N)
-        tb_d_f = jnp.stack(tb_d_rows).reshape(ND * W, N)
+        # one packed table (3 bits/layer-entry per cell: S | I<<2... packed
+        # as base-5 into i8) so the traceback loop pays ONE gather per
+        # step instead of three — the 3x take_along_axis was ~half the
+        # measured 25 ms attempt body (r4 on-chip bisect)
+        tb_s_st = jnp.stack(tb_s_rows)
+        tb_i_st = jnp.stack(tb_i_rows)
+        tb_d_st = jnp.stack(tb_d_rows)
+        tb_pack = (tb_s_st + jnp.int8(5) * tb_i_st
+                   + jnp.int8(25) * tb_d_st).reshape(ND * W, N)
 
         its = jnp.arange(ms, dtype=I32)[:, None]              # (ms, 1)
         mr = (k - 1) + jnp.broadcast_to(its, (ms, N))
         mc = mr + 2
 
-        def tb_at(matf, r, j):
-            d = jnp.clip(r + j, 0, ND - 1)
+        def tb_at_packed(r, j, roff, joff):
+            """Packed-table lookup at (r+roff, j+joff) — the S layer needs
+            the (-1,-1) diagonal step, I/D the same cell."""
+            rr = r + roff
+            jj = j + joff
+            d = jnp.clip(rr + jj, 0, ND - 1)
             return jnp.take_along_axis(
-                matf, d * W + jnp.clip(r, 0, Lr), axis=0)
+                tb_pack, d * W + jnp.clip(rr, 0, Lr), axis=0)
 
         ops_rev0 = jnp.full((T, ms, N), jnp.int8(TB_START))
 
@@ -747,17 +778,22 @@ def make_greedy_attempt32_arr(probe, codes, k: int, ms: int, nb: int):
             is_del = layer == OP_DEL
             ops_rev = ops_rev.at[t].set(
                 jnp.where(active, layer, jnp.int8(TB_START)))
-            nxt = jnp.where(
-                is_ins, tb_at(tb_i_f, r, j),
-                jnp.where(is_del, tb_at(tb_d_f, r, j),
-                          tb_at(tb_s_f, r - 1, j - 1)))
+            is_sub = ~is_ins & ~is_del
+            pk = tb_at_packed(r - is_sub.astype(I32), j - is_sub.astype(I32),
+                              0, 0).astype(I32)
+            ent_s = pk % 5
+            ent_i = (pk // 5) % 5
+            ent_d = pk // 25
+            nxt = jnp.where(is_ins, ent_i,
+                            jnp.where(is_del, ent_d, ent_s)).astype(jnp.int8)
             r2 = jnp.where(active, jnp.where(is_del, r, r - 1), r)
             j2 = jnp.where(active, jnp.where(is_ins, j, j - 1), j)
             layer2 = jnp.where(active, nxt, layer)
             nops2 = nops + active.astype(I32)
             return (r2, j2, layer2, nops2, ops_rev)
 
-        layer0 = tb_at(tb_s_f, mr, mc)
+        pk0 = tb_at_packed(mr, mc, 0, 0).astype(I32)
+        layer0 = (pk0 % 5).astype(jnp.int8)
         st = (mr, mc, layer0, jnp.zeros((ms, N), I32), ops_rev0)
         _r, _j, _l, nops, ops_rev = jax.lax.fori_loop(0, T, tb_step, st)
         # ops_rev: (T, ms, N); axis 0 is the w/t axis of the per-lane code
@@ -811,7 +847,7 @@ def make_greedy_attempt32_arr(probe, codes, k: int, ms: int, nb: int):
         consumed = jnp.maximum(raw_consumed, 0)
         cap = ok & (raw_consumed < 0)
 
-        new_kmer = jnp.zeros(N, U32)
+        new_kmer = jnp.zeros(N, kmer.dtype)
         for it in range(ms):
             new_kmer = jnp.where(sel[it], wks[it + 1], new_kmer)
 
@@ -902,7 +938,7 @@ def _tiered_walk32(probe, k: int, corr, alt_code, first_correct, use_fc,
     history).  Returns (ok, cap, buf, n, wk)."""
     N = corr.shape[0]
     buf0 = jnp.zeros((N, EW_WALK), U32).at[:, 0].set(alt_code.astype(U32))
-    hist0 = jnp.full((N, RING), SENT32).at[:, 0].set(corr)
+    hist0 = jnp.full((N, RING), _sent(k)).at[:, 0].set(corr)
     status0 = jnp.where(enabled, RUN, DECLINE).astype(I32)
     st = (corr, jnp.ones(N, I32), buf0, status0, hist0)
     wk, n, buf, status, hist = _walk_phase32(
@@ -914,7 +950,7 @@ def _tiered_walk32(probe, k: int, corr, alt_code, first_correct, use_fc,
                         jnp.arange(N, dtype=I32)), NW2, with_src=True)
     status = jnp.where(over, CAP, status)
 
-    hist2 = jnp.full((NW2, NH2), SENT32).at[:, :RING].set(c_hist)
+    hist2 = jnp.full((NW2, NH2), _sent(k)).at[:, :RING].set(c_hist)
     st2 = (c_wk, c_n, c_buf,
            jnp.where(c_ok, RUN, DECLINE).astype(I32), hist2)
     wk2, n2a, buf2, status2, _h = _walk_phase32(
@@ -1030,7 +1066,7 @@ def make_ladder_attempt32(probe, codes, k: int, c: int, ms: int, nb: int,
         taken = jnp.zeros(N, bool)
         ok = jnp.zeros(N, bool)
         cap = jnp.zeros(N, bool)
-        new_kmer = jnp.zeros(N, U32)
+        new_kmer = jnp.zeros(N, kmer.dtype)
         consumed = jnp.zeros(N, I32)
         cnt = jnp.zeros(N, I32)
         emit = jnp.zeros((N, EWL), U32)
@@ -1090,7 +1126,10 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
 
         # ---------------- 1. dense precompute --------------------------
         codes = dc.unpack_codes(packed_in, CHUNK)        # (CHUNK,) u8
-        kmers = dc.rolling_kmers32(codes, k)             # (CHUNK,) u32
+        if k <= 15:
+            kmers = dc.rolling_kmers32(codes, k)         # (CHUNK,) u32
+        else:
+            kmers = dc.rolling_kmers(codes, k)           # (CHUNK,) u64
         pos = jnp.arange(CHUNK, dtype=I32)
 
         rid0 = jnp.zeros(CHUNK, I32).at[rstart].max(
@@ -1312,7 +1351,7 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
                jnp.zeros((NS * SLOTS, EW), U32),         # re
                jnp.zeros(NQA + blk, I32),                # app_sid
                jnp.zeros(NQA + blk, I32),                # app_i
-               jnp.zeros(NQA + blk, U32),                # app_reg
+               jnp.zeros(NQA + blk, reg_dtype(k)),       # app_reg
                jnp.zeros(NQA + blk, I32),                # app_t
                jnp.zeros(NQA + blk, I32))                # app_slot
         st = jax.lax.while_loop(queue_cond, queue_body, st0)
@@ -1537,12 +1576,13 @@ class Tpu3Corrector:
 
     def __init__(self, valid_kmer, corrections, confirm: int,
                  max_search: int, chunk: int | None = None,
-                 nreads: int | None = None, fused: bool | None = None):
+                 nreads: int | None = None, fused: bool | None = None,
+                 table=None):
         from br_tpu.set.solid import SolidSet
 
         _check_k(valid_kmer.k)
         if not isinstance(valid_kmer, SolidSet):
-            raise TypeError("engine3 requires a SolidSet (k <= 15); "
+            raise TypeError("engine3 requires a SolidSet (k <= 17); "
                             "use the v2 engine for hash sets")
         self.k = valid_kmer.k
         self.c = confirm
@@ -1565,7 +1605,11 @@ class Tpu3Corrector:
             raise ValueError("fused=True requires the full default chain")
         self._chain_plan = ["ladder"] if fused else self.corrections
         self.valid_kmer = valid_kmer
-        self.table = jax.device_put(valid_kmer.device_words())
+        # `table` lets a device-built bitfield (set/device_build.py) skip
+        # the host->device transfer — decisive at k=17 (1 GiB over a
+        # ~30 MB/s link); it must match device_words() layout.
+        self.table = (jax.device_put(valid_kmer.device_words())
+                      if table is None else table)
         if chunk is not None:
             self.CHUNK = chunk
         if nreads is not None:

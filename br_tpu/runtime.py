@@ -106,7 +106,7 @@ def make_corrector(valid_kmer, corrections, confirm, max_search,
         from br_tpu.correct.engine3 import Tpu3Corrector
         from br_tpu.set.solid import SolidSet
 
-        if valid_kmer.k <= 15 and isinstance(valid_kmer, SolidSet):
+        if valid_kmer.k <= 17 and isinstance(valid_kmer, SolidSet):
             return Tpu3Corrector(valid_kmer, corrections, confirm,
                                  max_search)
         backend = "jax-v2"

@@ -16,8 +16,10 @@ def main():
     from br_tpu.count import Counter
     from br_tpu.io.fasta import read_records
 
+    import os
     K = 13
-    CHUNK, R = 1 << 18, 256
+    CHUNK = 1 << int(os.environ.get("BISECT_CHUNK_LOG2", "18"))
+    R = 256
     reads = [s for _d, s, _q in read_records(
         "/root/reference/tests/data/raw.fasta")]
     counter = Counter(K)

@@ -1,6 +1,7 @@
 """Profile the v3 engine per-pass on the real corpus (TPU).
 
-Times: host packing, each strategy program per chunk (block_until_ready),
+Times: host packing, each strategy program per chunk (synced via a small
+readback -- block_until_ready is a no-op on the axon backend),
 reversal, readback/decode — to find where the 7 s/corpus goes.
 """
 
@@ -60,12 +61,12 @@ def main():
             fn = tc._get_pass(s)
             t0 = time.perf_counter()
             cur_a, cur_n, cap, aux = fn(tc.table, cur_a, rs, cur_n)
-            cur_a.block_until_ready()
+            np.asarray(cap)  # the only reliable barrier on this backend
             per[s] += time.perf_counter() - t0
             aux_tot[s] += np.asarray(aux).astype(np.int64)
         t0 = time.perf_counter()
         cur_a = rev(cur_a, rs, cur_n)
-        cur_a.block_until_ready()
+        np.asarray(cur_a[:1])
         per["rev"] += time.perf_counter() - t0
         state.append((cur_a, rs, cur_n))
 
@@ -86,7 +87,7 @@ def main():
         cur_a = rev(cur_a, rs, cur_n)
         outs.append((cur_a, cur_n, cap))
     for a, n, c in outs:
-        a.block_until_ready()
+        np.asarray(c)
     t_rev_chain = time.perf_counter() - t0
     print(f"\nreverse-direction chain total (async pipelined): "
           f"{t_rev_chain*1000:.1f} ms")

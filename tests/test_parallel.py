@@ -114,6 +114,34 @@ def test_data_parallel_correction_matches_single_device():
     assert got == want
 
 
+def test_device_solid_build_matches_host():
+    """On-device count+threshold+bitpack == host Counter/SolidSet path
+    (the k=17 enabler: the 1 GiB bitfield never crosses the wire)."""
+    from br_tpu.count import Counter
+    from br_tpu.set.device_build import (
+        build_solid_words_on_device,
+        device_words_to_solid,
+    )
+
+    rng = np.random.default_rng(7)
+    reads = [rng.choice(np.frombuffer(b"ACTG", np.uint8),
+                        size=int(rng.integers(30, 900))).tobytes()
+             for _ in range(40)]
+    for k, a in ((11, 0), (13, 1)):
+        words = build_solid_words_on_device(reads, k, a)
+        got = device_words_to_solid(words, k)
+        c = Counter(k)
+        c.count_sequences(reads)
+        assert np.array_equal(got.bits, c.to_solid(a).bits)
+    # partitioned sweep (the big-k memory shape) on a small space
+    words = build_solid_words_on_device(reads, 13, 1,
+                                        max_count_bytes=1 << 22)
+    got = device_words_to_solid(words, 13)
+    c = Counter(13)
+    c.count_sequences(reads)
+    assert np.array_equal(got.bits, c.to_solid(1).bits)
+
+
 def test_graft_entry_compiles():
     import sys
 
