@@ -931,11 +931,73 @@ def _walk_phase32(probe, k: int, state, use_fc, max_steps, first_correct,
     return jax.lax.while_loop(cond, body, state)
 
 
+def _brent_walk32(probe, k: int, wk, n, status, first_correct, t3_cap: int,
+                  unroll: int = 8):
+    """Tier-3 graph-mode walk continuation with O(1) revisit state.
+
+    Lanes arriving here ran WALK_MAX unique-successor steps without
+    branching, revisiting, or reaching ``first_correct``.  The explicit
+    history tiers can't extend further, but exact semantics don't need
+    one: in a unique-successor walk a revisit implies a pure cycle, so
+    (a) ANY eventual cycle detection yields the same DECLINE as the
+    reference's first-revisit guard (graph.rs:71-75), and (b) a cycle
+    precludes ever reaching ``first_correct`` (its first arrival would
+    precede any revisit).  Brent's algorithm detects the cycle with two
+    registers.  Reaching ``first_correct`` here means an emit longer
+    than the walk buffer -> CAP (host); so does exceeding ``t3_cap``.
+    Every DECLINE produced here is bit-exact; only CAPs fall back."""
+
+    def cond(st):
+        wk, n, status, saved, lam, power = st
+        return jnp.any(status == RUN)
+
+    def body(st):
+        wk, n, status, saved, lam, power = st
+        for _ in range(unroll):
+            act = status == RUN
+            cands = jnp.stack([add_nuc32(wk, jnp.uint8(a), k)
+                               for a in range(4)])
+            okv = probe(cands)
+            ns = jnp.sum(okv.astype(I32), axis=0, dtype=I32)
+            sa = jnp.sum(jnp.arange(4, dtype=U32)[:, None]
+                         * okv.astype(U32), axis=0, dtype=U32)
+            wk2 = add_nuc32(wk, sa.astype(jnp.uint8), k)
+            branch = ns != 1
+            accept = wk2 == first_correct       # emit too long -> CAP
+            cycle = wk2 == saved
+            over = n + 1 >= t3_cap
+            st2 = jnp.where(
+                branch | cycle, DECLINE,
+                jnp.where(accept | over, CAP, RUN))
+            status = jnp.where(act, st2.astype(I32), status)
+            wk = jnp.where(act, wk2, wk)
+            n = jnp.where(act, n + 1, n)
+            # Brent: lengthen the probe window in powers of two
+            lam = jnp.where(act, lam + 1, lam)
+            renew = act & (lam >= power)
+            saved = jnp.where(renew, wk, saved)
+            power = jnp.where(renew, power * 2, power)
+            lam = jnp.where(renew, 0, lam)
+        return (wk, n, status, saved, lam, power)
+
+    one = jnp.ones_like(n)
+    st = (wk, n, status, wk, jnp.zeros_like(n), one)
+    wk, n, status, _s, _l, _p = jax.lax.while_loop(cond, body, st)
+    return wk, n, status
+
+
+#: tier-3 lane capacity and step bound (Brent continuation).
+NW3 = 64
+T3_CAP = 1 << 14
+
+
 def _tiered_walk32(probe, k: int, corr, alt_code, first_correct, use_fc,
                    max_steps, enabled):
     """Full walk over N lanes: tier 1 (all lanes, <= T1_STEPS, full RING
-    history) then tier 2 (<= NW2 surviving lanes, <= WALK_MAX, full NH2
-    history).  Returns (ok, cap, buf, n, wk)."""
+    history), tier 2 (<= NW2 surviving lanes, <= WALK_MAX, full NH2
+    history), then tier 3 (graph-mode lanes that out-ran WALK_MAX;
+    Brent cycle detection, exact DECLINEs, CAP only for genuinely
+    device-hostile outcomes).  Returns (ok, cap, buf, n, wk)."""
     N = corr.shape[0]
     buf0 = jnp.zeros((N, EW_WALK), U32).at[:, 0].set(alt_code.astype(U32))
     hist0 = jnp.full((N, RING), _sent(k)).at[:, 0].set(corr)
@@ -961,6 +1023,26 @@ def _tiered_walk32(probe, k: int, corr, alt_code, first_correct, use_fc,
     n = n.at[idx].set(n2a, mode="drop")
     buf = buf.at[idx].set(buf2, mode="drop")
     status = status.at[idx].set(status2, mode="drop")
+
+    # tier 3: graph-mode lanes that out-ran WALK_MAX (real-corpus walks
+    # routinely exceed it in long invalid regions and then DECLINE; this
+    # resolves them on device instead of capping 70% of reads to the
+    # host, BENCH r4 diagnosis)
+    pend3 = (status == CAP) & use_fc & (n >= WALK_MAX)
+    (t_wk, t_n, t_fc, t_src), t_ok, _over3, _ = _compact(
+        pend3, (wk, n, first_correct, jnp.arange(N, dtype=I32)), NW3,
+        with_src=True)
+    # a lane that capped exactly ON first_correct is a true ACCEPT the
+    # device renounced (CAP-outranks-ACCEPT rule) — keep it CAP: walking
+    # past it here would turn an accept into a bogus decline
+    st3 = jnp.where(t_ok, jnp.where(t_wk == t_fc, CAP, RUN),
+                    DECLINE).astype(I32)
+    wk3, n3, status3 = _brent_walk32(probe, k, t_wk, t_n, st3, t_fc,
+                                     T3_CAP)
+    idx3 = jnp.where(t_ok, t_src, N)  # overflow lanes keep their CAP
+    status = status.at[idx3].set(status3, mode="drop")
+    wk = wk.at[idx3].set(wk3, mode="drop")
+    n = n.at[idx3].set(n3, mode="drop")
 
     ok = jnp.where(use_fc, status == ACCEPT, status == RUN)
     return ok, status == CAP, buf, n, wk

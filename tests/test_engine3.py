@@ -139,6 +139,29 @@ def test_v3_repeat_rich_clustered_errors():
                cluster_gap=K + 1)
 
 
+def test_v3_long_walk_declines_on_device():
+    """Tier-3 (Brent) walk: a chimeric read makes Graph walk the donor
+    genome's unique path for ~1500 steps before declining — far past
+    WALK_MAX.  Pre-tier-3 this capped the read to the host (70% of the
+    corpus fell back, BENCH r4); now the decline resolves on device and
+    the result still matches the oracle bit for bit."""
+    rng = np.random.default_rng(99)
+    bases = np.frombuffer(b"ACTG", np.uint8)
+    gA = rng.choice(bases, size=2400).tobytes()
+    gB = rng.choice(bases, size=2400).tobytes()
+    solid = SolidSet.from_sequences([gA, gB], K)
+    # chimeric junction: the scan leaves gA's k-mers, the walk chases
+    # gA's path while first_correct lies on gB
+    reads = [gA[100:600] + gB[700:1200],
+             gA[50:1800] + gB[200:900]]
+    tc = Tpu3Corrector(solid, ["graph"], 5, 7, chunk=1 << 14, nreads=32)
+    got = tc.correct_batch(reads, two_side=True)
+    methods = build_methods(["graph"], solid, 5, 7)
+    want = [correct_read(r, methods, True) for r in reads]
+    assert got == want
+    assert tc.last_stats["fallback"] == 0, tc.last_stats
+
+
 @pytest.mark.slow
 def test_v3_dense_errors():
     _fuzz_case(FULL, seed=77, n_reads=24, err=10, two_side=False)
@@ -149,6 +172,32 @@ def test_v3_repeat_rich_two_side():
     rng = np.random.default_rng(55)
     g = _repeat_rich_genome(rng, size=6000)
     _fuzz_case(FULL, seed=55, n_reads=24, err=6, two_side=True, genome=g)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("confirm,max_search", [(9, 7), (14, 7), (5, 14)])
+def test_v3_window_beyond_k(confirm, max_search):
+    """ADVICE r3 item 3: confirmation / lookahead windows AT or BEYOND k
+    (the regime where per-site and per-pass plans can diverge) — the
+    production cascade must still match the oracle exactly."""
+    rng = np.random.default_rng(confirm * 100 + max_search)
+    g = _repeat_rich_genome(rng)
+    reads = []
+    for _ in range(12):
+        lo = rng.integers(0, len(g) - 420)
+        r = bytearray(g[lo : lo + 400])
+        for _ in range(2):
+            p = int(rng.integers(K + 2, len(r) - 2 * K - 4))
+            r[p] = ord("ACTG"[rng.integers(4)])
+            r[p + K + 1] = ord("ACTG"[rng.integers(4)])
+        reads.append(bytes(r))
+    solid = SolidSet.from_sequences([g], K)
+    tc = Tpu3Corrector(solid, FULL, confirm=confirm, max_search=max_search,
+                       chunk=1 << 14, nreads=32)
+    got = tc.correct_batch(reads, two_side=False)
+    methods = build_methods(FULL, solid, confirm, max_search)
+    want = [correct_read(r, methods, False) for r in reads]
+    assert got == want
 
 
 @pytest.mark.slow
