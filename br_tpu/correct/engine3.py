@@ -931,21 +931,22 @@ def _walk_phase32(probe, k: int, state, use_fc, max_steps, first_correct,
     return jax.lax.while_loop(cond, body, state)
 
 
-def _brent_walk32(probe, k: int, wk, n, status, first_correct, t3_cap: int,
-                  unroll: int = 8):
-    """Tier-3 graph-mode walk continuation with O(1) revisit state.
+def _brent_walk32(probe, k: int, wk, n, status, first_correct, use_fc,
+                  max_steps, t3_cap: int, unroll: int = 8):
+    """Tier-3 walk continuation with O(1) revisit state.
 
     Lanes arriving here ran WALK_MAX unique-successor steps without
-    branching, revisiting, or reaching ``first_correct``.  The explicit
-    history tiers can't extend further, but exact semantics don't need
-    one: in a unique-successor walk a revisit implies a pure cycle, so
-    (a) ANY eventual cycle detection yields the same DECLINE as the
-    reference's first-revisit guard (graph.rs:71-75), and (b) a cycle
-    precludes ever reaching ``first_correct`` (its first arrival would
-    precede any revisit).  Brent's algorithm detects the cycle with two
-    registers.  Reaching ``first_correct`` here means an emit longer
-    than the walk buffer -> CAP (host); so does exceeding ``t3_cap``.
-    Every DECLINE produced here is bit-exact; only CAPs fall back."""
+    branching, revisiting, or (graph mode) reaching ``first_correct``.
+    The explicit history tiers can't extend further, but exact DECLINEs
+    don't need one: in a unique-successor walk a revisit implies a pure
+    cycle, and Brent detection firing at step d means a TRUE revisit
+    happened at some step <= d — so every DECLINE issued here is one the
+    reference's first-revisit guard (graph.rs:71-75) also issues, and a
+    cycle precludes ever reaching ``first_correct`` (its first arrival
+    would precede any revisit).  Outcomes that would need an emit longer
+    than the walk buffer stay CAP (host): graph-mode arrival at
+    ``first_correct``, fill-mode completion of all ``max_steps``, or
+    exceeding ``t3_cap``."""
 
     def cond(st):
         wk, n, status, saved, lam, power = st
@@ -963,12 +964,16 @@ def _brent_walk32(probe, k: int, wk, n, status, first_correct, t3_cap: int,
                          * okv.astype(U32), axis=0, dtype=U32)
             wk2 = add_nuc32(wk, sa.astype(jnp.uint8), k)
             branch = ns != 1
-            accept = wk2 == first_correct       # emit too long -> CAP
+            accept = use_fc & (wk2 == first_correct)   # emit too long
+            # phase semantics: a lane steps while (n-1) < max_steps, so
+            # the step taken at n == max_steps is its last; branch/cycle
+            # on that step still DECLINEs (checked first above)
+            done_fill = ~use_fc & (n >= max_steps)      # ditto
             cycle = wk2 == saved
             over = n + 1 >= t3_cap
             st2 = jnp.where(
                 branch | cycle, DECLINE,
-                jnp.where(accept | over, CAP, RUN))
+                jnp.where(accept | done_fill | over, CAP, RUN))
             status = jnp.where(act, st2.astype(I32), status)
             wk = jnp.where(act, wk2, wk)
             n = jnp.where(act, n + 1, n)
@@ -986,8 +991,11 @@ def _brent_walk32(probe, k: int, wk, n, status, first_correct, t3_cap: int,
     return wk, n, status
 
 
-#: tier-3 lane capacity and step bound (Brent continuation).
-NW3 = 64
+#: tier-3 lane capacity (full block width: at CHUNK=2^19 a rev-direction
+#: queue trip can carry ~1000 long-walk lanes, far past tier 2's NW2)
+#: and step bound (walks longer than T3_CAP cap to the host; measured on
+#: the corpus, nearly all tier-3 walks decline well before this).
+NW3 = BLK
 T3_CAP = 1 << 14
 
 
@@ -1006,39 +1014,60 @@ def _tiered_walk32(probe, k: int, corr, alt_code, first_correct, use_fc,
     wk, n, buf, status, hist = _walk_phase32(
         probe, k, st, use_fc, max_steps, first_correct, T1_STEPS, RING)
 
+    # tier 2 in ROUNDS of NW2 lanes: a reverse-direction queue trip can
+    # carry ~1000 long-walk lanes (every site of a fully-invalid read),
+    # and a single NW2-wide pass used to overflow them to CAP — silently
+    # renouncing accepts tier 2 could have emitted.  The rounds loop
+    # drains every pending lane with bounded (NW2, NH2) history memory.
+    lanes = jnp.arange(N, dtype=I32)
+
+    def rounds_cond(st):
+        return jnp.any(st[4])
+
+    def rounds_body(st):
+        wk, n, buf, status, pend = st
+        (c_wk, c_n, c_buf, c_hist, c_fc, c_ufc, c_ms, c_src), c_ok, _o, _ = \
+            _compact(pend, (wk, n, buf, hist, first_correct, use_fc,
+                            max_steps, lanes), NW2, with_src=True)
+        hist2 = jnp.full((NW2, NH2), _sent(k)).at[:, :RING].set(c_hist)
+        st2 = (c_wk, c_n, c_buf,
+               jnp.where(c_ok, RUN, DECLINE).astype(I32), hist2)
+        wk2, n2a, buf2, status2, _h = _walk_phase32(
+            probe, k, st2, c_ufc, c_ms, c_fc, WALK_MAX, NH2)
+        idx = jnp.where(c_ok, c_src, N)  # OOB rows dropped by scatter
+        wk = wk.at[idx].set(wk2, mode="drop")
+        n = n.at[idx].set(n2a, mode="drop")
+        buf = buf.at[idx].set(buf2, mode="drop")
+        status = status.at[idx].set(status2, mode="drop")
+        pend = pend & (jnp.cumsum(pend.astype(I32), dtype=I32) > NW2)
+        return (wk, n, buf, status, pend)
+
     pend = _walk_active(wk, n, status, use_fc, max_steps, WALK_MAX)
-    (c_wk, c_n, c_buf, c_hist, c_fc, c_ufc, c_ms, c_src), c_ok, over, _ = \
-        _compact(pend, (wk, n, buf, hist, first_correct, use_fc, max_steps,
-                        jnp.arange(N, dtype=I32)), NW2, with_src=True)
-    status = jnp.where(over, CAP, status)
+    wk, n, buf, status, _p = jax.lax.while_loop(
+        rounds_cond, rounds_body, (wk, n, buf, status, pend))
 
-    hist2 = jnp.full((NW2, NH2), _sent(k)).at[:, :RING].set(c_hist)
-    st2 = (c_wk, c_n, c_buf,
-           jnp.where(c_ok, RUN, DECLINE).astype(I32), hist2)
-    wk2, n2a, buf2, status2, _h = _walk_phase32(
-        probe, k, st2, c_ufc, c_ms, c_fc, WALK_MAX, NH2)
-
-    idx = jnp.where(c_ok, c_src, N)  # OOB rows dropped by scatter
-    wk = wk.at[idx].set(wk2, mode="drop")
-    n = n.at[idx].set(n2a, mode="drop")
-    buf = buf.at[idx].set(buf2, mode="drop")
-    status = status.at[idx].set(status2, mode="drop")
-
-    # tier 3: graph-mode lanes that out-ran WALK_MAX (real-corpus walks
-    # routinely exceed it in long invalid regions and then DECLINE; this
-    # resolves them on device instead of capping 70% of reads to the
-    # host, BENCH r4 diagnosis)
-    pend3 = (status == CAP) & use_fc & (n >= WALK_MAX)
-    (t_wk, t_n, t_fc, t_src), t_ok, _over3, _ = _compact(
-        pend3, (wk, n, first_correct, jnp.arange(N, dtype=I32)), NW3,
-        with_src=True)
-    # a lane that capped exactly ON first_correct is a true ACCEPT the
-    # device renounced (CAP-outranks-ACCEPT rule) — keep it CAP: walking
-    # past it here would turn an accept into a bogus decline
-    st3 = jnp.where(t_ok, jnp.where(t_wk == t_fc, CAP, RUN),
+    # tier 3: lanes that out-ran WALK_MAX (real-corpus walks routinely
+    # exceed it in long invalid regions and then DECLINE; this resolves
+    # them on device instead of capping 70% of reads to the host, BENCH
+    # r4 diagnosis).  Graph mode chases first_correct; fill mode runs to
+    # its gap length — completions that would out-emit the buffer CAP.
+    # every CAP source is tier-3 eligible: tier-2 WALK_MAX caps (long
+    # walks) AND tier-2 compaction overflow (more than NW2 long-walk
+    # lanes in one trip — routine in the reverse direction at big
+    # chunks).  Overflow lanes enter mid-walk; Brent DECLINEs are exact
+    # from any starting point, and accepts (which tier 2 would have
+    # emitted) conservatively CAP to the host.
+    pend3 = status == CAP
+    (t_wk, t_n, t_fc, t_ufc, t_ms, t_src), t_ok, _over3, _ = _compact(
+        pend3, (wk, n, first_correct, use_fc, max_steps,
+                jnp.arange(N, dtype=I32)), NW3, with_src=True)
+    # a graph lane that capped exactly ON first_correct is a true ACCEPT
+    # the device renounced (CAP-outranks-ACCEPT rule) — keep it CAP:
+    # walking past it would turn an accept into a bogus decline
+    st3 = jnp.where(t_ok, jnp.where(t_ufc & (t_wk == t_fc), CAP, RUN),
                     DECLINE).astype(I32)
     wk3, n3, status3 = _brent_walk32(probe, k, t_wk, t_n, st3, t_fc,
-                                     T3_CAP)
+                                     t_ufc, t_ms, T3_CAP)
     idx3 = jnp.where(t_ok, t_src, N)  # overflow lanes keep their CAP
     status = status.at[idx3].set(status3, mode="drop")
     wk = wk.at[idx3].set(wk3, mode="drop")

@@ -154,12 +154,13 @@ def test_v3_long_walk_declines_on_device():
     # gA's path while first_correct lies on gB
     reads = [gA[100:600] + gB[700:1200],
              gA[50:1800] + gB[200:900]]
-    tc = Tpu3Corrector(solid, ["graph"], 5, 7, chunk=1 << 14, nreads=32)
-    got = tc.correct_batch(reads, two_side=True)
-    methods = build_methods(["graph"], solid, 5, 7)
-    want = [correct_read(r, methods, True) for r in reads]
-    assert got == want
-    assert tc.last_stats["fallback"] == 0, tc.last_stats
+    for chain in (["graph"], ["gap-size"]):
+        tc = Tpu3Corrector(solid, chain, 5, 7, chunk=1 << 14, nreads=32)
+        got = tc.correct_batch(reads, two_side=True)
+        methods = build_methods(chain, solid, 5, 7)
+        want = [correct_read(r, methods, True) for r in reads]
+        assert got == want, chain
+        assert tc.last_stats["fallback"] == 0, (chain, tc.last_stats)
 
 
 @pytest.mark.slow
