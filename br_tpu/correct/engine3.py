@@ -868,7 +868,8 @@ def make_greedy_attempt32_arr(probe, codes, k: int, ms: int, nb: int):
 
 
 def _alt_info32_arr(probe, kmer):
-    """Array form of the 'exactly one alternative' gate; kmer (N,) u32."""
+    """Array form of the 'exactly one alternative' gate; kmer (N,)
+    in the register dtype (u32 for k <= 15, u64 for k = 17)."""
     base = (kmer >> _u(2)) << _u(2)
     cands = base[None, :] ^ jnp.arange(4, dtype=U32)[:, None]
     ok = probe(cands)
