@@ -1676,15 +1676,14 @@ class Tpu3Corrector:
     strategy plus one reversal program, reused for every batch."""
 
     #: flat positions per chunk (static; one XLA program shape).
-    #: Measured e2e on the corpus (full chain + reverse, steady state):
-    #: 2^18 -> 6.9 s (12 chunks), 2^19 -> 5.3 s (6 chunks) — per-chunk
-    #: fixed costs (scans, dispatch, per-pass overheads) amortize with
-    #: chunk size, while compile only grows from ~100 s to ~127 s total
-    #: warmup.  2^20 compiles at ~55-70 s/program (r2's bench-timeout
-    #: culprit) — not worth the risk for the remaining gain.
-    CHUNK = 1 << 19
+    #: Measured e2e on the corpus (full chain + reverse, steady state,
+    #: r4): 2^18 -> 6.9 s, 2^19 -> 4.6 s (44.7 reads/s), 2^20 -> 4.27 s
+    #: (48.2 reads/s) — per-chunk fixed costs amortize with chunk size.
+    #: 2^20 cold-compiles at ~366 s total, which the persistent compile
+    #: cache (device_codec) reduces to a one-time cost.
+    CHUNK = 1 << 20
     #: read slots per chunk
-    R = 256
+    R = 512
 
     def __init__(self, valid_kmer, corrections, confirm: int,
                  max_search: int, chunk: int | None = None,
