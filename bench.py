@@ -10,6 +10,14 @@ CPU br, which cannot be built in this image — no Rust toolchain; same
 algorithmic class: 2-bit rolling k-mers, bitfield probes, -O3, all cores).
 Outputs are checked identical between device and CPU before timing.
 
+Reproducibility (VERDICT r4 item 2): >= 7 timed repetitions; the headline
+value is the MEDIAN, and the dispersion (min/max/all samples) is reported
+so relay variance is visible instead of hidden behind a best-of.
+
+Env knobs: BENCH_K (13), BENCH_ABUNDANCE (2), BENCH_REPEAT (7),
+BENCH_INPUT (path to a FASTA corpus; defaults to the bundled 206-read
+reference corpus — see scripts/make_corpus.py for the 20k-read one).
+
 Prints ONE JSON line:
   {"metric": "reads_per_s_per_chip", "value": N, "unit": "reads/s",
    "vs_baseline": device/cpu, ...extras}
@@ -17,6 +25,7 @@ Prints ONE JSON line:
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -28,16 +37,17 @@ os.environ.setdefault("BR_TPU_JAX_CACHE",
                       os.path.expanduser("~/.cache/br_tpu_jax"))
 
 REF_FASTA = "/root/reference/tests/data/raw.fasta"
+INPUT = os.environ.get("BENCH_INPUT", REF_FASTA)
 K = int(os.environ.get("BENCH_K", "13"))
 ABUNDANCE = int(os.environ.get("BENCH_ABUNDANCE", "2"))
-REPEAT = int(os.environ.get("BENCH_REPEAT", "5"))
+REPEAT = int(os.environ.get("BENCH_REPEAT", "7"))
 CHAIN = ["one", "two", "graph", "greedy", "gap-size"]
 
 
 def load_reads():
     from br_tpu.io.fasta import read_records
 
-    return [seq for _d, seq, _q in read_records(REF_FASTA)]
+    return [seq for _d, seq, _q in read_records(INPUT)]
 
 
 def build_solid(reads):
@@ -53,13 +63,17 @@ def main():
     reads = load_reads()
     n_bases = sum(map(len, reads))
 
+    # Host count: feeds the CPU-baseline corrector and the oracle
+    # fallback.  The device path's own count cost is timed separately
+    # below (on-device count+threshold+bitpack) when it is used.
     t0 = time.perf_counter()
     solid = build_solid(reads)
-    t_count = time.perf_counter() - t0
+    host_count_s = time.perf_counter() - t0
 
     from br_tpu.native import NativeCorrector
     from br_tpu.runtime import make_corrector
 
+    dev_count_s = None
     if K > 15:
         # k=17: the 1 GiB bitfield is built ON DEVICE (count + threshold
         # + bitpack in HBM, br_tpu/set/device_build.py) — a host->device
@@ -67,7 +81,12 @@ def main():
         from br_tpu.correct.engine3 import Tpu3Corrector
         from br_tpu.set.device_build import build_solid_words_on_device
 
+        t0 = time.perf_counter()
         words = build_solid_words_on_device(reads, K, ABUNDANCE)
+        words.block_until_ready()
+        import numpy as _np  # readback barrier: block_until_ready is a
+        _np.asarray(words[:8])  # no-op on the axon backend (PERF_NOTES)
+        dev_count_s = time.perf_counter() - t0
         tc = Tpu3Corrector(solid, CHAIN, confirm=5, max_search=7,
                            table=words)
     else:
@@ -97,27 +116,38 @@ def main():
         t0 = time.perf_counter()
         tc.correct_batch(reads, two_side=False)
         t_dev.append(time.perf_counter() - t0)
-    best = min(t_dev)
+    med = statistics.median(t_dev)
 
-    reads_per_s = len(reads) / best
+    reads_per_s = len(reads) / med
     cpu_reads_per_s = len(reads) / t_cpu
     result = {
         "metric": "reads_per_s_per_chip",
         "value": round(reads_per_s, 2),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_s / cpu_reads_per_s, 3),
-        "bases_per_s": round(n_bases / best, 0),
+        "bases_per_s": round(n_bases / med, 0),
         "cpu_reads_per_s": round(cpu_reads_per_s, 2),
         "k": K,
         "n_reads": len(reads),
         "n_bases": n_bases,
-        "count_s": round(t_count, 3),
+        "count_s": round(host_count_s, 3),
         "compile_s": round(t_compile, 1),
         "device": str(__import__("jax").devices()[0]),
         "engine": type(tc).__name__,
         "bit_exact_vs_cpu": mismatch == 0,
         "mismatches": mismatch,
+        # dispersion: median is the headline; min/max + every sample so
+        # relay variance / regressions are visible (VERDICT r4 item 2)
+        "repeat": REPEAT,
+        "t_median_s": round(med, 3),
+        "t_min_s": round(min(t_dev), 3),
+        "t_max_s": round(max(t_dev), 3),
+        "t_all_s": [round(t, 3) for t in t_dev],
     }
+    if dev_count_s is not None:
+        result["device_count_s"] = round(dev_count_s, 3)
+    if INPUT != REF_FASTA:
+        result["input"] = INPUT
     # auditable host/device split (VERDICT r3 item 4): how much of the
     # headline number was actually corrected on the chip
     stats = getattr(tc, "last_stats", None)

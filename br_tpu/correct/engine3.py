@@ -1052,12 +1052,12 @@ def _tiered_walk32(probe, k: int, corr, alt_code, first_correct, use_fc,
     # them on device instead of capping 70% of reads to the host, BENCH
     # r4 diagnosis).  Graph mode chases first_correct; fill mode runs to
     # its gap length — completions that would out-emit the buffer CAP.
-    # every CAP source is tier-3 eligible: tier-2 WALK_MAX caps (long
-    # walks) AND tier-2 compaction overflow (more than NW2 long-walk
-    # lanes in one trip — routine in the reverse direction at big
-    # chunks).  Overflow lanes enter mid-walk; Brent DECLINEs are exact
-    # from any starting point, and accepts (which tier 2 would have
-    # emitted) conservatively CAP to the host.
+    # The rounds loop above drains every pending lane through tier 2, so
+    # the only CAP source reaching here is the WALK_MAX cap; tier-3
+    # lanes therefore always enter at exactly wk-step WALK_MAX.  Brent
+    # DECLINEs are exact from any starting point, and accepts (whose
+    # emitted bases tier 2 no longer holds) conservatively CAP to the
+    # host via the t_wk == t_fc guard below.
     pend3 = status == CAP
     (t_wk, t_n, t_fc, t_ufc, t_ms, t_src), t_ok, _over3, _ = _compact(
         pend3, (wk, n, first_correct, use_fc, max_steps,

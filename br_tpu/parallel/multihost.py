@@ -116,8 +116,16 @@ def fasta_range_bounds(path: str, process_id: int, num_processes: int):
     """[start, end) byte range of this process's stripe, snapped to record
     starts (a ``>`` at line start).  Plain (uncompressed) FASTA only."""
     with open(path, "rb") as fh:
-        if fh.read(2)[:2] in (b"\x1f\x8b", b"BZ"):
+        head = fh.read(2)
+        if head[:2] in (b"\x1f\x8b", b"BZ"):
             raise ValueError("ranged striping needs an uncompressed input")
+        # FASTQ would pass the compression check but '>' occurs inside
+        # quality lines (Phred+33 Q29), so '\n>' snapping would split
+        # records mid-stream; require a real FASTA head byte.
+        if head[:1] != b">":
+            raise ValueError(
+                "ranged striping needs plain FASTA (file must start "
+                "with '>'); use the striped path for FASTQ/compressed")
         fh.seek(0, os.SEEK_END)
         size = fh.tell()
 

@@ -41,6 +41,11 @@ def _pack_reads(seqs, k: int):
 
     Returns (packed u8 (ceil(T/4),), starts (R,) i32, lens (R,) i32, T).
     """
+    # drop len<k reads up front: a zero-length read would duplicate an
+    # entry in `starts`, collapsing in the rstart scatter below and
+    # shifting read_id/pin for every later read (silent count skew); the
+    # host Counter skips them too, so dropping preserves parity.
+    seqs = [s for s in seqs if len(s) >= k]
     total = sum(len(s) for s in seqs)
     T = total + (-total) % 32
     codes = np.zeros(T, dtype=np.uint8)
@@ -106,6 +111,10 @@ def build_solid_words_on_device(seqs, k: int, abundance: int,
     word array compatible with ``SolidSet.device_words()`` layout."""
     half = 1 << (2 * k - 1)
     nparts = max(1, (half * 4 + max_count_bytes - 1) // max_count_bytes)
+    # half is a power of two, so psize * nparts == half only holds when
+    # nparts is too; round up (ceil-division alone gives e.g. nparts=11
+    # for 3 GiB at k=17, which does not divide 2^33)
+    nparts = 1 << (nparts - 1).bit_length()
     psize = half // nparts
     assert psize % 32 == 0 and psize * nparts == half
 

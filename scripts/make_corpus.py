@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Seeded Badread-style simulated long-read corpus generator.
+
+Produces a FASTA corpus with the same shape as the bundled reference
+corpus (/root/reference/tests/data/raw.fasta: 206 reads, lengths
+157-62,163, median ~9 kb, per-read identity 95-98%, Badread-style
+headers) but at benchmark scale (default 20,000 reads, ~240 Mb), so
+fixed per-chunk costs amortize and reads/s is measured at the north
+star's actual operating point (VERDICT r4 item 3).
+
+Model (a simplified Badread):
+  * random reference genome of --genome-size bases (uniform ACGT),
+  * read length ~ gamma(shape 1.4) scaled to --mean-len, clamped to
+    [150, --max-len] (gives the bundled corpus's long right tail),
+  * start position uniform; half the reads are reverse-complemented,
+  * per-read identity ~ uniform(95, 98) %; errors are placed uniformly
+    with type mix sub/ins/del = 50/25/25 % (Badread's default glitch
+    mix), applied via a vectorized numpy splice.
+
+Everything derives from one numpy PCG64 seed: the corpus is fully
+reproducible byte-for-byte.
+
+Usage:
+    python scripts/make_corpus.py -o /tmp/corpus20k.fasta \
+        [--reads 20000] [--genome-size 10000000] [--seed 42]
+"""
+
+import argparse
+
+import numpy as np
+
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+COMP = np.zeros(256, np.uint8)
+COMP[np.frombuffer(b"ACGT", np.uint8)] = np.frombuffer(b"TGCA", np.uint8)
+
+
+def make_reads(rng, genome, n_reads, mean_len, max_len):
+    glen = len(genome)
+    lens = np.clip((rng.gamma(1.4, mean_len / 1.4, n_reads)).astype(np.int64),
+                   150, max_len)
+    starts = rng.integers(0, np.maximum(1, glen - lens), n_reads)
+    for r in range(n_reads):
+        frag = genome[starts[r] : starts[r] + lens[r]]
+        strand = "+"
+        if rng.random() < 0.5:
+            frag = COMP[frag[::-1]]
+            strand = "-"
+        identity = rng.uniform(95.0, 98.0)
+        n_err = int(len(frag) * (100.0 - identity) / 100.0)
+        # error layout: positions sorted+unique, type mix 50/25/25
+        pos = np.unique(rng.integers(0, len(frag), n_err))
+        kinds = rng.random(len(pos))
+        sub_m = kinds < 0.50
+        ins_m = (kinds >= 0.50) & (kinds < 0.75)
+        # vectorized splice: each position contributes 0 (del), 1
+        # (sub: replaced base) or 2 (ins: new base + original) bytes
+        out_chunks = []
+        prev = 0
+        subs = BASES[rng.integers(0, 4, len(pos))]
+        inss = BASES[rng.integers(0, 4, len(pos))]
+        for j, p in enumerate(pos):
+            out_chunks.append(frag[prev:p])
+            if sub_m[j]:
+                out_chunks.append(subs[j : j + 1])
+                prev = p + 1
+            elif ins_m[j]:
+                out_chunks.append(inss[j : j + 1])
+                out_chunks.append(frag[p : p + 1])
+                prev = p + 1
+            else:  # deletion
+                prev = p + 1
+        out_chunks.append(frag[prev:])
+        read = np.concatenate(out_chunks)
+        yield (starts[r], strand, len(frag), identity, read)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-o", "--output", required=True)
+    ap.add_argument("--reads", type=int, default=20000)
+    ap.add_argument("--genome-size", type=int, default=10_000_000)
+    ap.add_argument("--mean-len", type=int, default=12000)
+    ap.add_argument("--max-len", type=int, default=62000)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+
+    rng = np.random.Generator(np.random.PCG64(args.seed))
+    genome = BASES[rng.integers(0, 4, args.genome_size)]
+
+    n_bases = 0
+    with open(args.output, "wb") as fh:
+        gen = make_reads(rng, genome, args.reads, args.mean_len,
+                         args.max_len)
+        for i, (start, strand, flen, ident, read) in enumerate(gen):
+            hdr = (f">sim{i:06d} random_seq,{strand}strand,"
+                   f"{start}-{start + flen} length={len(read)} "
+                   f"error-free_length={flen} "
+                   f"read_identity={ident:.2f}%\n")
+            fh.write(hdr.encode())
+            fh.write(read.tobytes())
+            fh.write(b"\n")
+            n_bases += len(read)
+    print(f"wrote {args.reads} reads / {n_bases} bases to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -148,3 +148,85 @@ def test_spectrum_from_count_roundtrip():
     # first a with hist[a] < hist[a+1]: the zero run before the count-7
     # bucket -> a=6 (strictly-less rule; 30 > 0 at a=2 doesn't qualify)
     assert sp.get_threshold(ThresholdMethod.FIRST_MINIMUM) == 6
+
+
+# ---------------------------------------------------------------------------
+# Property tests for the four [inferred] Spectrum rules (VERDICT r4 item
+# 8): the pcon source is unavailable, so these pin the internal
+# invariants the re-derivations must satisfy — monotonicity in the
+# percent parameter, boundary percents, and the defining predicate of
+# each returned threshold.
+# ---------------------------------------------------------------------------
+
+
+def _random_spectra(n=60, seed=1234):
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    out = []
+    for _ in range(n):
+        size = int(rng.integers(3, 64))
+        hist = rng.integers(0, 10_000, size).astype(np.int64)
+        hist[0] = 0
+        if rng.random() < 0.3:   # sprinkle zero runs (sparse spectra)
+            hist[rng.integers(1, size, size // 3)] = 0
+        if hist[1:].sum() == 0:
+            hist[1] = 1
+        out.append(hist)
+    return out
+
+
+def test_spectrum_percent_rules_monotone_in_percent():
+    for hist in _random_spectra():
+        sp = Spectrum(hist)
+        for method, direction in (
+                (ThresholdMethod.PERCENT_AT_LEAST, -1),
+                (ThresholdMethod.PERCENT_AT_MOST, -1),
+                (ThresholdMethod.RAREFACTION, -1)):
+            prev = None
+            for p in (0.01, 0.05, 0.1, 0.25, 0.5, 0.75, 0.99):
+                a = sp.get_threshold(method, p)
+                if prev is not None and a is not None and prev is not ...:
+                    # raising percent can only lower (or keep) each rule's
+                    # threshold: at-least keeps more mass, at-most /
+                    # rarefaction trigger earlier
+                    assert a <= prev, (method, p, a, prev, hist.tolist())
+                prev = a if a is not None else prev
+
+
+def test_spectrum_boundary_percents():
+    for hist in _random_spectra(30, seed=99):
+        sp = Spectrum(hist)
+        n = len(hist)
+        # at-least(0): every abundance keeps >= 0% of the mass -> the
+        # largest abundance wins
+        assert sp.get_threshold(
+            ThresholdMethod.PERCENT_AT_LEAST, 0.0) == n - 1
+        # at-most(1): tail fraction is always <= 100% -> a = 1
+        assert sp.get_threshold(ThresholdMethod.PERCENT_AT_MOST, 1.0) == 1
+
+
+def test_spectrum_thresholds_satisfy_their_predicate():
+    import numpy as np
+
+    for hist in _random_spectra(40, seed=7):
+        sp = Spectrum(hist)
+        total = int(hist[1:].sum())
+        tail = np.cumsum(hist[::-1])[::-1]
+        a = sp.get_threshold(ThresholdMethod.FIRST_MINIMUM)
+        if a is not None:
+            assert hist[a] < hist[a + 1]
+            assert all(hist[b] >= hist[b + 1] for b in range(1, a))
+        for p in (0.05, 0.3, 0.6):
+            a = sp.get_threshold(ThresholdMethod.RAREFACTION, p)
+            if a is not None:
+                assert hist[a] / total < p
+                assert all(hist[b] / total >= p for b in range(1, a))
+            a = sp.get_threshold(ThresholdMethod.PERCENT_AT_LEAST, p)
+            if a is not None:
+                assert tail[a] / total >= p
+                assert all(tail[b] / total < p for b in range(a + 1, len(hist)))
+            a = sp.get_threshold(ThresholdMethod.PERCENT_AT_MOST, p)
+            if a is not None:
+                assert tail[a] / total <= p
+                assert all(tail[b] / total > p for b in range(1, a))

@@ -203,3 +203,17 @@ print("proc", pid, "count ok")
 """ % port
     outs = _launch(code, 2)
     assert all("count ok" in o for o in outs)
+
+
+def test_ranged_rejects_fastq_input(tmp_path):
+    """ADVICE r4: FASTQ passes the compression sniff but '>' can occur
+    inside quality lines (Phred+33 Q29), so '\\n>' snapping would split
+    records; the ranged path must demand a real FASTA head byte."""
+    import pytest
+
+    from br_tpu.parallel.multihost import fasta_range_bounds
+
+    fq = tmp_path / "in.fastq"
+    fq.write_bytes(b"@r1\nACGT\n+\n>>>>\n@r2\nTTTT\n+\n!!!!\n")
+    with pytest.raises(ValueError, match="FASTA"):
+        fasta_range_bounds(str(fq), 0, 2)

@@ -161,3 +161,47 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_device_solid_build_handles_empty_and_short_reads():
+    """ADVICE r4: an empty record used to collapse duplicate entries in
+    the rstart scatter, silently shifting read_id/pin for every later
+    read.  len<k reads must be dropped exactly like the host Counter."""
+    from br_tpu.count import Counter
+    from br_tpu.set.device_build import (
+        build_solid_words_on_device,
+        device_words_to_solid,
+    )
+
+    rng = np.random.default_rng(3)
+    good = [rng.choice(np.frombuffer(b"ACTG", np.uint8),
+                       size=int(rng.integers(30, 300))).tobytes()
+            for _ in range(10)]
+    reads = [good[0], b"", good[1], b"ACG", b"", *good[2:]]
+    k = 11
+    words = build_solid_words_on_device(reads, k, 0)
+    got = device_words_to_solid(words, k)
+    c = Counter(k)
+    c.count_sequences(reads)
+    assert np.array_equal(got.bits, c.to_solid(0).bits)
+
+
+def test_device_solid_build_non_pow2_partition_budget():
+    """ADVICE r4: a max_count_bytes that is not a power of two used to
+    trip the psize*nparts assert (ceil-division nparts need not divide
+    the half-space); nparts is now rounded up to a power of two."""
+    from br_tpu.count import Counter
+    from br_tpu.set.device_build import (
+        build_solid_words_on_device,
+        device_words_to_solid,
+    )
+
+    rng = np.random.default_rng(5)
+    reads = [rng.choice(np.frombuffer(b"ACTG", np.uint8),
+                        size=200).tobytes() for _ in range(8)]
+    words = build_solid_words_on_device(reads, 13, 0,
+                                        max_count_bytes=3 << 20)
+    got = device_words_to_solid(words, 13)
+    c = Counter(13)
+    c.count_sequences(reads)
+    assert np.array_equal(got.bits, c.to_solid(0).bits)
