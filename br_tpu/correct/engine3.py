@@ -19,12 +19,17 @@ Third redesign of the batched corrector, driven by two r2/r3 findings:
 
 Structure per pass (one strategy, one direction, ONE jitted program):
 
-1. **Dense precompute** — 2-bit codes, rolling u32 k-mers, per-position
-   read-id table (scatter + cummax), validity bitmap V (one bitfield
-   gather per position) gated by per-read bounds, transition bitmap T,
-   next-valid/next-transition jump tables (flat reverse-cummin; every
-   consumer bound-checks against its read end, so reads never leak into
-   each other).
+1. **Dense precompute** — rolling u32 k-mers over u8 codes, per-position
+   read geometry via delta-scatter + cumsum fills (r5: the only
+   CHUNK-sized HBM gathers a pass pays are the bitfield probe and the
+   final splice gather; every stepwise-constant per-position table is a
+   scatter of per-boundary deltas integrated by cumsum — measured ~13x
+   cheaper than gathers and ~50x cheaper than cummax fills on this
+   XLA/TPU stack, scripts/op_patterns.py), validity bitmap V (one
+   bitfield gather per position) gated by per-read bounds, transition
+   bitmap T, next-valid/next-transition jump tables (flat reverse-
+   cummin; every consumer bound-checks against its read end, so reads
+   never leak into each other).
 2. **Site-block queue** — attempt sites (rank r extracted on demand via
    binary search over cumsum(T)) and nested dirty re-attempts are
    processed in BLK-lane blocks inside one ``while_loop`` whose trip
@@ -40,10 +45,11 @@ Structure per pass (one strategy, one direction, ONE jitted program):
    site-successor graph from each read's head site (successor site ids
    are recovered in O(1) from cumsum(T), no sort).  v2's mid-read
    resync boundaries and their runtime crossing guard are gone.
-4. **Splice** — global segment ids via boundary scatter + one cummax
-   (segment indices are position-ordered by construction), then the
-   output is assembled with one gather from a per-segment base table
-   and one gather from the input codes / record emit words.
+4. **Splice** — one unified per-position source index: src = pos - S,
+   where the per-segment shift S (covering verbatim spans, emit spans
+   pointing into a concatenated unpacked-emit table, and tails) is a
+   single delta-scatter + cumsum fill; the output is assembled with ONE
+   combined gather from concat(input codes, emit table).
 
 Reference semantics: the scan machine of
 /root/reference/src/correct/mod.rs:53-107 with the strategy ladder of
@@ -68,7 +74,10 @@ I32 = jnp.int32
 U32 = jnp.uint32
 U8 = jnp.uint8
 
-#: de Bruijn walk cap (engine.py MAX_WALK parity).
+#: de Bruijn walk cap (engine.py MAX_WALK parity).  An ENGINEERING
+#: bound, not reference semantics (graph.rs walks are unbounded):
+#: accepts/fills longer than the profile's walk_max CAP, and capped
+#: reads retry on a wide-profile chain before the host oracle (r5).
 WALK_MAX = 248
 #: 2-bit bases per u32 emit word.
 BPW = 16
@@ -81,6 +90,30 @@ RING = 32
 T1_STEPS = 30
 #: tier-2 walk history width (start + up to WALK_MAX visited k-mers).
 NH2 = 256
+
+
+class WalkProfile(NamedTuple):
+    """Engineering bounds of the de Bruijn walk machinery (per pass
+    program).  The default profile covers virtually every real-corpus
+    walk; the WIDE profile re-runs the rare reads whose accepts/fills
+    out-emit the default buffer (fallback_capped -> 0 on device)."""
+
+    walk_max: int   # steps before a walk CAPs (tier-2 bound)
+    ew: int         # emit words per walk record (walk_max+1 bases)
+    nh2: int        # tier-2 history width (>= walk_max+1 for exactness)
+
+
+def walk_profile(walk_max: int) -> WalkProfile:
+    return WalkProfile(walk_max,
+                       (walk_max + 1 + BPW - 1) // BPW,
+                       walk_max + 8)
+
+
+DEFAULT_WP = walk_profile(WALK_MAX)
+#: wide-retry profile (engineering headroom for long unique-path
+#: accepts and long gap fills; reads that out-emit even this cap to the
+#: host oracle).
+WIDE_WALK_MAX = 2040
 #: tier-2 walk lane capacity per block.
 NW2 = 256
 #: chain records per site (applied repairs in one dirty chain).
@@ -197,10 +230,10 @@ class AttemptOut3(NamedTuple):
 LADDER_CHAIN = ("one", "two", "graph", "greedy", "gap-size")
 
 
-def emit_words(strategy: str) -> int:
+def emit_words(strategy: str, ew_walk: int = EW_WALK) -> int:
     return {"one": 1, "two": 1, "greedy": 1,
-            "graph": EW_WALK, "gap-size": EW_WALK,
-            "ladder": EW_WALK}[strategy]
+            "graph": ew_walk, "gap-size": ew_walk,
+            "ladder": ew_walk}[strategy]
 
 
 # ---------------------------------------------------------------------------
@@ -885,15 +918,15 @@ def _walk_active(wk, n, status, use_fc, max_steps, phase_cap: int):
 
 
 def _walk_phase32(probe, k: int, state, use_fc, max_steps, first_correct,
-                  phase_cap: int, nh: int):
+                  phase_cap: int, nh: int, wp: WalkProfile = DEFAULT_WP):
     """Advance the walk until every lane freezes (array-level while_loop).
 
     state = (wk, n, buf, status, hist); hist[:, j] = register after step j
     (slot 0 = start k-mer), so `revisit` is exact.  ``use_fc`` per-lane
     selects graph mode (accept on reaching ``first_correct``) vs fill
     mode (walk exactly ``max_steps``).  CAP outranks ACCEPT at the
-    WALK_MAX step."""
-    wcols = jnp.arange(EW_WALK, dtype=I32)[None, :]
+    wp.walk_max step."""
+    wcols = jnp.arange(wp.ew, dtype=I32)[None, :]
     hcols = jnp.arange(nh, dtype=I32)[None, :]
 
     def cond(st):
@@ -913,7 +946,7 @@ def _walk_phase32(probe, k: int, state, use_fc, max_steps, first_correct,
         branch_fail = ns != 1
         revisit = jnp.any(hist == wk2[:, None], axis=1)
         accept = use_fc & (wk2 == first_correct)
-        capped = n >= WALK_MAX
+        capped = n >= wp.walk_max
 
         wi = n // BPW
         sh = ((n % BPW) * 2).astype(U32)
@@ -1001,19 +1034,20 @@ T3_CAP = 1 << 14
 
 
 def _tiered_walk32(probe, k: int, corr, alt_code, first_correct, use_fc,
-                   max_steps, enabled):
+                   max_steps, enabled, wp: WalkProfile = DEFAULT_WP):
     """Full walk over N lanes: tier 1 (all lanes, <= T1_STEPS, full RING
-    history), tier 2 (<= NW2 surviving lanes, <= WALK_MAX, full NH2
-    history), then tier 3 (graph-mode lanes that out-ran WALK_MAX;
-    Brent cycle detection, exact DECLINEs, CAP only for genuinely
-    device-hostile outcomes).  Returns (ok, cap, buf, n, wk)."""
+    history), tier 2 (<= NW2 surviving lanes, <= wp.walk_max, full
+    wp.nh2 history), then tier 3 (graph-mode lanes that out-ran
+    wp.walk_max; Brent cycle detection, exact DECLINEs, CAP only for
+    genuinely device-hostile outcomes).  Returns (ok, cap, buf, n, wk)."""
     N = corr.shape[0]
-    buf0 = jnp.zeros((N, EW_WALK), U32).at[:, 0].set(alt_code.astype(U32))
+    buf0 = jnp.zeros((N, wp.ew), U32).at[:, 0].set(alt_code.astype(U32))
     hist0 = jnp.full((N, RING), _sent(k)).at[:, 0].set(corr)
     status0 = jnp.where(enabled, RUN, DECLINE).astype(I32)
     st = (corr, jnp.ones(N, I32), buf0, status0, hist0)
     wk, n, buf, status, hist = _walk_phase32(
-        probe, k, st, use_fc, max_steps, first_correct, T1_STEPS, RING)
+        probe, k, st, use_fc, max_steps, first_correct, T1_STEPS, RING,
+        wp)
 
     # tier 2 in ROUNDS of NW2 lanes: a reverse-direction queue trip can
     # carry ~1000 long-walk lanes (every site of a fully-invalid read),
@@ -1030,11 +1064,11 @@ def _tiered_walk32(probe, k: int, corr, alt_code, first_correct, use_fc,
         (c_wk, c_n, c_buf, c_hist, c_fc, c_ufc, c_ms, c_src), c_ok, _o, _ = \
             _compact(pend, (wk, n, buf, hist, first_correct, use_fc,
                             max_steps, lanes), NW2, with_src=True)
-        hist2 = jnp.full((NW2, NH2), _sent(k)).at[:, :RING].set(c_hist)
+        hist2 = jnp.full((NW2, wp.nh2), _sent(k)).at[:, :RING].set(c_hist)
         st2 = (c_wk, c_n, c_buf,
                jnp.where(c_ok, RUN, DECLINE).astype(I32), hist2)
         wk2, n2a, buf2, status2, _h = _walk_phase32(
-            probe, k, st2, c_ufc, c_ms, c_fc, WALK_MAX, NH2)
+            probe, k, st2, c_ufc, c_ms, c_fc, wp.walk_max, wp.nh2, wp)
         idx = jnp.where(c_ok, c_src, N)  # OOB rows dropped by scatter
         wk = wk.at[idx].set(wk2, mode="drop")
         n = n.at[idx].set(n2a, mode="drop")
@@ -1043,7 +1077,7 @@ def _tiered_walk32(probe, k: int, corr, alt_code, first_correct, use_fc,
         pend = pend & (jnp.cumsum(pend.astype(I32), dtype=I32) > NW2)
         return (wk, n, buf, status, pend)
 
-    pend = _walk_active(wk, n, status, use_fc, max_steps, WALK_MAX)
+    pend = _walk_active(wk, n, status, use_fc, max_steps, wp.walk_max)
     wk, n, buf, status, _p = jax.lax.while_loop(
         rounds_cond, rounds_body, (wk, n, buf, status, pend))
 
@@ -1078,7 +1112,8 @@ def _tiered_walk32(probe, k: int, corr, alt_code, first_correct, use_fc,
     return ok, status == CAP, buf, n, wk
 
 
-def make_graph_attempt32_arr(probe, codes, k: int, err_fn):
+def make_graph_attempt32_arr(probe, codes, k: int, err_fn,
+                             wp: WalkProfile = DEFAULT_WP):
     """Graph strategy (graph.rs:44-85) over arrays of sites."""
 
     def attempt(i, kmer, length, enabled):
@@ -1087,8 +1122,8 @@ def make_graph_attempt32_arr(probe, codes, k: int, err_fn):
         alt_code = corr & _u(3)
         ok_w, cap, buf, n, wk = _tiered_walk32(
             probe, k, corr, alt_code, fc,
-            jnp.ones(i.shape, bool), jnp.full(i.shape, WALK_MAX, I32),
-            enabled & (nalts == 1))
+            jnp.ones(i.shape, bool), jnp.full(i.shape, wp.walk_max, I32),
+            enabled & (nalts == 1), wp)
         ok = (nalts == 1) & ok_w
         return AttemptOut3(ok, wk, err_len + 1, buf, n,
                            enabled & (nalts == 1) & cap)
@@ -1096,7 +1131,8 @@ def make_graph_attempt32_arr(probe, codes, k: int, err_fn):
     return attempt
 
 
-def make_gap_attempt32_arr(probe, codes, k: int, c: int, err_fn):
+def make_gap_attempt32_arr(probe, codes, k: int, c: int, err_fn,
+                           wp: WalkProfile = DEFAULT_WP):
     """GapSize dispatch (gap_size.rs:97-108) over arrays of sites."""
     one = make_one_attempt32(probe, codes, k, c)
     one_v = jax.vmap(one)
@@ -1113,7 +1149,7 @@ def make_gap_attempt32_arr(probe, codes, k: int, c: int, err_fn):
         # one walk serves both graph mode and fill mode (per-lane select)
         ok_w, cap_w, buf, n, wk = _tiered_walk32(
             probe, k, corr, alt_code, fc, is_graph, gap,
-            enabled & (is_graph | is_fill) & (nalts == 1))
+            enabled & (is_graph | is_fill) & (nalts == 1), wp)
         o = one_v(i, kmer, length)
 
         ok = jnp.where(is_one, o.ok, (nalts == 1) & ok_w)
@@ -1130,7 +1166,7 @@ def make_gap_attempt32_arr(probe, codes, k: int, c: int, err_fn):
 
 
 def make_ladder_attempt32(probe, codes, k: int, c: int, ms: int, nb: int,
-                          err_fn):
+                          err_fn, wp: WalkProfile = DEFAULT_WP):
     """The full per-site strategy ladder, fused into one attempt.
 
     EXPERIMENTAL — NOT the reference semantics.  The reference applies
@@ -1156,10 +1192,10 @@ def make_ladder_attempt32(probe, codes, k: int, c: int, ms: int, nb: int,
     masked out."""
     one_v = jax.vmap(make_one_attempt32(probe, codes, k, c))
     two_v = jax.vmap(make_two_attempt32(probe, codes, k, c))
-    graph_a = make_graph_attempt32_arr(probe, codes, k, err_fn)
+    graph_a = make_graph_attempt32_arr(probe, codes, k, err_fn, wp)
     greedy_a = make_greedy_attempt32_arr(probe, codes, k, ms, nb)
-    gap_a = make_gap_attempt32_arr(probe, codes, k, c, err_fn)
-    EWL = emit_words("ladder")
+    gap_a = make_gap_attempt32_arr(probe, codes, k, c, err_fn, wp)
+    EWL = emit_words("ladder", wp.ew)
 
     def pad_emit(emit):
         n, ew = emit.shape
@@ -1205,24 +1241,35 @@ def make_ladder_attempt32(probe, codes, k: int, c: int, ms: int, nb: int,
 
 def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
                   CHUNK: int, R: int, _debug: bool = False,
-                  _cut: str | None = None):
-    """One jitted (table, packed (CHUNK//4,) u8, rstart (R,) i32,
-    rlen (R,) i32) -> (out packed, out_lens (R,) i32, cap (R,) bool,
-    aux (8,) i32).
+                  _cut: str | None = None, walk_max: int = WALK_MAX):
+    """One jitted (table, codes (CHUNK,) u8, rstart (R,) i32,
+    rlen (R,) i32) -> (out codes (CHUNK,) u8, out_lens (R,) i32,
+    cap (R,) bool, aux (8,) i32).
 
     Reads live in contiguous slots [rstart[r], rstart[r]+slotcap) of one
-    flat 2-bit-packed position buffer; unused slots have rstart = CHUNK,
+    flat 2-bit-code position buffer; unused slots have rstart = CHUNK,
     rlen = 0.  Slot capacities are implied: slotcap[r] = rstart[r+1] -
     rstart[r] (last: CHUNK - rstart).  aux = (sites, cap-overflow,
     cap-attempt, cap-rounds, visited sites, applied records, capped
-    reads, raw site count)."""
+    reads, raw site count).
+
+    r5 data-movement redesign: a pass owes exactly TWO CHUNK-sized HBM
+    gathers (the bitfield probe and the splice gather) — every other
+    per-position table (read id, read start/len, segment id/start,
+    splice source) is a scatter+scan fill, measured ~13x cheaper than
+    the CHUNK-from-small-table gathers they replace (8.3 ms -> 0.6 ms
+    at 2^20, scripts/op_patterns.py).  Output codes beyond out_len are
+    stale garbage by design: every consumer (the next pass's masks, the
+    reverse program, the host decode) slices by length first."""
     _check_k(k)
     assert CHUNK % 4 == 0 and R >= 1
-    EW = emit_words(strategy)
+    # geometry fills pack (rid, value) into one monotone i32 key
+    assert R * 2 * CHUNK < (1 << 31), "rid|len key must fit i32"
+    wp = walk_profile(walk_max)
+    EW = emit_words(strategy, wp.ew)
     NS = max(BLK, CHUNK // 32)       # site-id capacity
     NQA = NS                         # dirty re-attempt queue capacity
     NR = NS                          # compacted (visited) record capacity
-    NSEG = 2 * NR + R + 1            # segment table (+1 drop slot)
     # queue-block width.  Measured on the corpus: the block body's cost
     # scales with LANES (padded-buffer bytes), not just op count — going
     # to 8192 lanes cut trips but ran the whole chain 2.5x SLOWER
@@ -1233,22 +1280,35 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
     MAXB = (NS + NQA) // blk + 64
     LV = NS.bit_length()             # pointer-doubling levels
 
-    def passfn(table, packed_in, rstart, rlen):
+    def passfn(table, codes, rstart, rlen):
         probe = dc.make_solid_probe_any(table, k)
 
         # ---------------- 1. dense precompute --------------------------
-        codes = dc.unpack_codes(packed_in, CHUNK)        # (CHUNK,) u8
         if k <= 15:
             kmers = dc.rolling_kmers32(codes, k)         # (CHUNK,) u32
         else:
             kmers = dc.rolling_kmers(codes, k)           # (CHUNK,) u64
         pos = jnp.arange(CHUNK, dtype=I32)
 
-        rid0 = jnp.zeros(CHUNK, I32).at[rstart].max(
-            jnp.arange(R, dtype=I32), mode="drop")
-        rid = jax.lax.cummax(rid0)                       # read id per pos
-        start_of = rstart[rid]
-        len_of = rlen[rid]
+        # Read geometry via delta-scatter + cumsum fills.  cummax is
+        # pathological on this XLA/TPU stack (14.9 ms vs 0.26 ms for
+        # cumsum at 2^20, scripts/op_patterns.py), so every stepwise-
+        # constant fill scatters the per-boundary DELTA and integrates:
+        # slot values are known per slot, so consecutive differences are
+        # exact, and .add-scatters telescope under position collisions.
+        # key packs (rid, len) in one fill: key = rid*2C + rlen.
+        LSH = 2 * CHUNK
+        slotkey = jnp.arange(R, dtype=I32) * LSH + rlen
+        kd = slotkey - jnp.concatenate([jnp.zeros(1, I32), slotkey[:-1]])
+        key = jnp.cumsum(
+            jnp.zeros(CHUNK, I32).at[rstart].add(kd, mode="drop"),
+            dtype=I32)
+        rid = key // LSH                                 # read id per pos
+        len_of = key % LSH
+        sd = rstart - jnp.concatenate([jnp.zeros(1, I32), rstart[:-1]])
+        start_of = jnp.cumsum(
+            jnp.zeros(CHUNK, I32).at[rstart].add(sd, mode="drop"),
+            dtype=I32)
         pin = pos - start_of
         endf_of = start_of + len_of                      # flat read end
 
@@ -1275,7 +1335,7 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
                               jnp.sum(V.astype(I32), dtype=I32),
                               jnp.sum(cap_read.astype(I32), dtype=I32),
                               jnp.int32(0), jnp.minimum(n_sites, BIG)])
-            return packed_in, rlen, cap_read, aux0
+            return codes, rlen, cap_read, aux0
 
         # ---------------- attempt machinery ----------------------------
         def err_fn(i, kmer, length):
@@ -1324,13 +1384,14 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
             attempt_block = make_greedy_attempt32_arr(probe, codes, k, ms,
                                                       nb)
         elif strategy == "graph":
-            attempt_block = make_graph_attempt32_arr(probe, codes, k, err_fn)
+            attempt_block = make_graph_attempt32_arr(probe, codes, k,
+                                                     err_fn, wp)
         elif strategy == "gap-size":
             attempt_block = make_gap_attempt32_arr(probe, codes, k, c,
-                                                   err_fn)
+                                                   err_fn, wp)
         elif strategy == "ladder":
             attempt_block = make_ladder_attempt32(probe, codes, k, c, ms,
-                                                  nb, err_fn)
+                                                  nb, err_fn, wp)
         else:
             raise ValueError(strategy)
 
@@ -1491,7 +1552,7 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
                 + (jnp.sum(jnp.minimum(rp, BIG), dtype=I32) & 0xFFFF),
                 jnp.sum(jnp.minimum(s_pos, BIG), dtype=I32) & 0xFFFF,
                 jnp.minimum(n_sites, BIG)])
-            return packed_in, rlen, cap_read, aux0
+            return codes, rlen, cap_read, aux0
 
         # ---------------- 3. whole-read chain walk ----------------------
         s_ok = s_pos < BIG
@@ -1525,8 +1586,10 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
         rv = (rp < BIG) & jnp.repeat(visited, SLOTS)
         (crp, crc, crs, cre), rok, rover = _compact(
             rv, (rp, rc, rs, re), NR)
-        cap_read = cap_read.at[
-            jnp.clip(rid[jnp.clip(rp, 0, CHUNK - 1)], 0, R - 1)].max(rover)
+        # compaction overflow caps the site's read (site-level reduce is
+        # NS-sized; the old form gathered rid at NS*SLOTS positions)
+        rover_site = jnp.any(rover.reshape(NS, SLOTS), axis=1)
+        cap_read = cap_read.at[s_rid].max(rover_site)
         crp = jnp.where(rok, crp, BIG)
 
         rlane = jnp.where(rok, rid[jnp.clip(crp, 0, CHUNK - 1)], R - 1)
@@ -1546,7 +1609,6 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
             [jnp.zeros(1, I32), jnp.cumsum(slen, dtype=I32)])       # (NR+1,)
         SxLo = Sx[rlo]                                   # (R,)
         ostart_v = Sx[ridx] - SxLo[rlane]
-        ostart_e = ostart_v + vlen
         body_len = Sx[rhi] - SxLo                        # (R,)
         has_rec = rhi > rlo
         lastx = jnp.clip(rhi - 1, 0, NR - 1)
@@ -1557,53 +1619,55 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
                                ((out_len > rcap) | (tail_len < 0)))
         out_len = jnp.where(rlen > 0, jnp.clip(out_len, 0, rcap), 0)
 
-        # global segment ids: g = 2*record_index + read_id for the
-        # verbatim/emit pair, 2*rhi + read_id for the tail — strictly
-        # position-ordered, so one scatter + cummax recovers them densely.
-        g_v = 2 * ridx + rlane
-        g_e = g_v + 1
-        g_t = 2 * rhi + jnp.arange(R, dtype=I32)
+        # ---- unified splice-source fill (one scatter-add + one cumsum,
+        # ZERO dense gathers besides the final combined gather) ----
+        #
+        # Every output position reads `concat(codes, emit-table)[pos-S]`
+        # where S is a per-segment constant: verbatim seg j of a read
+        # has S = pos_v_j - pe_j, the emit seg of record j (at compacted
+        # index j) has S = pos_e_j - (CHUNK + j*W) so that pos - S lands
+        # at the record's unpacked emit words, and the tail has
+        # S = pos_t - last_end.  S is built by scattering per-boundary
+        # DELTAS (each boundary knows its predecessor segment's S
+        # analytically) and integrating with cumsum.  Per-read delta
+        # sums telescope to S_tail(r) - S_tail(r-1) independent of WHERE
+        # the deltas land inside the read, so scatter indices are
+        # clipped INTO the read span (never dropped): a capped read can
+        # only corrupt its own span, and its cap flag routes it to the
+        # host oracle.
+        W = EW * BPW
         rcap_l = rcap[rlane]
         pos_v = rstart[rlane] + ostart_v
         pos_e = pos_v + vlen
         pos_t = rstart + body_len
-        ok_v = rok & (ostart_v >= 0) & (ostart_v < rcap_l)
-        ok_e = rok & (ostart_e >= 0) & (ostart_e < rcap_l)
-        ok_t = (rlen > 0) & (body_len >= 0) & (body_len < rcap)
-
-        segid0 = jnp.zeros(CHUNK, I32)
-        segid0 = segid0.at[jnp.where(ok_v, pos_v, CHUNK)].max(
-            g_v, mode="drop")
-        segid0 = segid0.at[jnp.where(ok_e, pos_e, CHUNK)].max(
-            g_e, mode="drop")
-        segid0 = segid0.at[jnp.where(ok_t, pos_t, CHUNK)].max(
-            g_t, mode="drop")
-        segid = jax.lax.cummax(segid0)
-
-        # per-segment source base: src = seg_base[segid] + pos.  Verbatim
-        # and tail segments index the input codes; emit segments yield
-        # `within` (the offset into the record's emit words).
-        seg_base = jnp.zeros(NSEG, I32)
-        seg_base = seg_base.at[jnp.where(rok, g_v, NSEG - 1)].set(
-            pe - pos_v, mode="drop")
-        seg_base = seg_base.at[jnp.where(rok, g_e, NSEG - 1)].set(
-            -pos_e, mode="drop")
-        seg_base = seg_base.at[jnp.where(rlen > 0, g_t, NSEG - 1)].set(
-            last_end - pos_t, mode="drop")
-
-        sb = seg_base[jnp.clip(segid, 0, NSEG - 1)]
-        src = sb + pos
-        is_emit = ((segid - rid) & 1) == 1
-        rec = jnp.clip((segid - rid) >> 1, 0, NR - 1)
-        within = jnp.clip(src, 0, EW * BPW - 1)
-        eword = cre[rec, within // BPW]
-        ecode = ((eword >> ((within % BPW) * 2).astype(U32)) & _u(3)
-                 ).astype(U8)
-        out_code = jnp.where(is_emit, ecode,
-                             codes[jnp.clip(src, 0, CHUNK - 1)])
-        opin = pos - start_of
-        keep = opin < out_len[rid]
-        out = dc.pack_codes(jnp.where(keep, out_code, U8(0)))
+        # analytic S values per segment
+        s_v = pos_v - pe
+        s_e = pos_e - (CHUNK + ridx * W)
+        s_tail = pos_t - last_end                        # (R,)
+        # predecessor S: for a first record, the previous slot's tail;
+        # for later records, the previous record's emit segment.
+        prev_tail = jnp.concatenate([jnp.zeros(1, I32), s_tail[:-1]])
+        s_pred_v = jnp.where(is_first, prev_tail[rlane], s_e[pidx])
+        d_v = jnp.where(rok, s_v - s_pred_v, 0)
+        d_e = jnp.where(rok, s_e - s_v, 0)
+        s_last = jnp.where(has_rec, s_e[lastx], prev_tail)
+        d_t = jnp.where(rlen > 0, s_tail - s_last, 0)
+        # clip indices into the owning read's span (see above)
+        iv = jnp.where(rok, jnp.clip(pos_v, rstart[rlane],
+                                     rstart[rlane] + rcap_l - 1), CHUNK)
+        ie = jnp.where(rok, jnp.clip(pos_e, rstart[rlane],
+                                     rstart[rlane] + rcap_l - 1), CHUNK)
+        it = jnp.where(rlen > 0,
+                       jnp.clip(pos_t, rstart, rstart + rcap - 1), CHUNK)
+        delta = jnp.zeros(CHUNK, I32).at[
+            jnp.concatenate([iv, ie, it])].add(
+            jnp.concatenate([d_v, d_e, d_t]), mode="drop")
+        S = jnp.cumsum(delta, dtype=I32)
+        gidx = jnp.clip(pos - S, 0, CHUNK + NR * W - 1)
+        etable = ((cre[:, :, None]
+                   >> (_u(2) * jnp.arange(BPW, dtype=U32)[None, None, :]))
+                  & _u(3)).astype(U8).reshape(NR * W)
+        out = jnp.concatenate([codes, etable])[gidx]
 
         def _cnt(m):
             return jnp.sum(m.astype(I32), dtype=I32)
@@ -1624,8 +1688,7 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
                        rp=rp, rc=rc, rs=rs, crp=crp, crc=crc, crs=crs,
                        rok=rok, head_idx=head_idx, succ_idx=succ_idx,
                        ostart_v=ostart_v, vlen=vlen, body_len=body_len,
-                       segid=segid, out_code=jnp.where(keep, out_code,
-                                                       U8(0)))
+                       shift=S, gidx=gidx, out_code=out)
             return out, out_len, cap_read, aux, dbg
         return out, out_len, cap_read, aux
 
@@ -1635,23 +1698,52 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
 def make_reverse3_fn(CHUNK: int, R: int):
     """Jitted in-slot reversal of the length-n prefix of every read (the
     two-side reverse pass works on plain-reversed bytes,
-    src/lib.rs:110-117)."""
+    src/lib.rs:110-117).  u8 codes in/out; one gather."""
+    assert R * 2 * CHUNK < (1 << 31)
 
     @jax.jit
-    def rev(packed, rstart, rlen):
-        codes = dc.unpack_codes(packed, CHUNK)
+    def rev(codes, rstart, rlen):
         pos = jnp.arange(CHUNK, dtype=I32)
-        rid0 = jnp.zeros(CHUNK, I32).at[rstart].max(
-            jnp.arange(R, dtype=I32), mode="drop")
-        rid = jax.lax.cummax(rid0)
-        start_of = rstart[rid]
-        len_of = rlen[rid]
+        # delta-scatter + cumsum fills (cummax is pathological on this
+        # stack — see make_pass3_fn)
+        LSH = 2 * CHUNK
+        slotkey = jnp.arange(R, dtype=I32) * LSH + rlen
+        kd = slotkey - jnp.concatenate([jnp.zeros(1, I32), slotkey[:-1]])
+        key = jnp.cumsum(
+            jnp.zeros(CHUNK, I32).at[rstart].add(kd, mode="drop"),
+            dtype=I32)
+        len_of = key % LSH
+        sd = rstart - jnp.concatenate([jnp.zeros(1, I32), rstart[:-1]])
+        start_of = jnp.cumsum(
+            jnp.zeros(CHUNK, I32).at[rstart].add(sd, mode="drop"),
+            dtype=I32)
         opin = pos - start_of
         src = jnp.where(opin < len_of,
                         start_of + len_of - 1 - opin, pos)
-        return dc.pack_codes(codes[jnp.clip(src, 0, CHUNK - 1)])
+        return codes[jnp.clip(src, 0, CHUNK - 1)]
 
     return rev
+
+
+def make_unpack3_fn(CHUNK: int):
+    """packed (CHUNK//4,) u8 -> codes (CHUNK,) u8 (chain entry)."""
+
+    @jax.jit
+    def up(packed):
+        return dc.unpack_codes(packed, CHUNK)
+
+    return up
+
+
+def make_pack3_fn(CHUNK: int):
+    """codes (CHUNK,) u8 -> packed (CHUNK//4,) u8 (chain exit; keeps the
+    device->host transfer at 2 bits/base)."""
+
+    @jax.jit
+    def pk(codes):
+        return dc.pack_codes(codes)
+
+    return pk
 
 
 # ---------------------------------------------------------------------------
@@ -1688,7 +1780,7 @@ class Tpu3Corrector:
     def __init__(self, valid_kmer, corrections, confirm: int,
                  max_search: int, chunk: int | None = None,
                  nreads: int | None = None, fused: bool | None = None,
-                 table=None):
+                 table=None, walk_max: int = WALK_MAX):
         from br_tpu.set.solid import SolidSet
 
         _check_k(valid_kmer.k)
@@ -1725,6 +1817,11 @@ class Tpu3Corrector:
             self.CHUNK = chunk
         if nreads is not None:
             self.R = nreads
+        #: walk-profile bound (see WalkProfile); reads whose walks CAP
+        #: under the default profile retry on a lazily-built WIDE-profile
+        #: sibling before falling back to the host oracle.
+        self.walk_max = walk_max
+        self._wide = None
         self._oracle = None
         #: optional jax.sharding.Mesh with a "dp" axis (see
         #: br_tpu.parallel); chunks are then grouped and sharded.
@@ -1733,7 +1830,12 @@ class Tpu3Corrector:
     # -- planning -----------------------------------------------------------
 
     def _slot_len(self, n: int) -> int:
-        slack = max(64, n // 8)  # net-insertion headroom; overflow -> cap
+        # net-insertion headroom; overflow -> cap (-> wide retry).  The
+        # wide profile budgets a full walk emit of headroom so a long
+        # accepted walk cannot re-cap on slot overflow.
+        slack = max(64, n // 8)
+        if self.walk_max > WALK_MAX:
+            slack = max(slack, self.walk_max + 64)
         s = n + slack
         return s + (-s) % 32
 
@@ -1763,19 +1865,49 @@ class Tpu3Corrector:
     # -- compiled program lookup --------------------------------------------
 
     def _get_pass(self, strategy: str):
-        key = ("v3", strategy, self.k, self.c, self.ms, self.CHUNK, self.R)
+        key = ("v3", strategy, self.k, self.c, self.ms, self.CHUNK,
+               self.R, self.walk_max)
         fn = _FN_CACHE.get(key)
         if fn is None:
             fn = make_pass3_fn(self.k, strategy, self.c, self.ms, self.c,
-                               self.CHUNK, self.R)
+                               self.CHUNK, self.R,
+                               walk_max=self.walk_max)
             _FN_CACHE[key] = fn
         return fn
+
+    def _get_wide(self):
+        """Wide-walk-profile sibling corrector for capped-read retries
+        (shares the device bitfield; small chunk keeps its one-time
+        compile cheap)."""
+        if self._wide is None:
+            self._wide = Tpu3Corrector(
+                self.valid_kmer, self.corrections, self.c, self.ms,
+                chunk=min(self.CHUNK, 1 << 18),
+                nreads=min(self.R, 32), table=self.table,
+                walk_max=WIDE_WALK_MAX)
+        return self._wide
 
     def _get_reverse(self):
         key = ("v3rev", self.CHUNK, self.R)
         fn = _FN_CACHE.get(key)
         if fn is None:
             fn = make_reverse3_fn(self.CHUNK, self.R)
+            _FN_CACHE[key] = fn
+        return fn
+
+    def _get_unpack(self):
+        key = ("v3up", self.CHUNK)
+        fn = _FN_CACHE.get(key)
+        if fn is None:
+            fn = make_unpack3_fn(self.CHUNK)
+            _FN_CACHE[key] = fn
+        return fn
+
+    def _get_pack(self):
+        key = ("v3pk", self.CHUNK)
+        fn = _FN_CACHE.get(key)
+        if fn is None:
+            fn = make_pack3_fn(self.CHUNK)
             _FN_CACHE[key] = fn
         return fn
 
@@ -1786,30 +1918,33 @@ class Tpu3Corrector:
         host cores); call before timing or to overlap with host work."""
         from concurrent.futures import ThreadPoolExecutor
 
-        fns = [self._get_pass(st) for st in self._chain_plan]
-        if not two_side:
-            fns.append(self._get_reverse())
         CHUNK, R = self.CHUNK, self.R
-        packed = np.zeros(CHUNK // 4, np.uint8)
+        codes = jax.device_put(np.zeros(CHUNK, np.uint8))
         rstart = np.full(R, CHUNK, np.int32)
         rstart[0] = 0
         rlen = np.zeros(R, np.int32)
         rlen[0] = 256
-        args = (jax.device_put(packed), jax.device_put(rstart),
-                jax.device_put(rlen))
+        args = (codes, jax.device_put(rstart), jax.device_put(rlen))
+        packed = jax.device_put(np.zeros(CHUNK // 4, np.uint8))
 
-        def compile_one(fn):
-            try:
-                fn.lower(self.table, *args).compile()
-            except TypeError:
-                fn.lower(*args).compile()  # the reverse fn has no table
+        # (fn, lowering args) with explicit signatures
+        jobs = [(self._get_pass(st), (self.table, *args))
+                for st in self._chain_plan]
+        if not two_side:
+            jobs.append((self._get_reverse(), args))
+        jobs.append((self._get_unpack(), (packed,)))
+        jobs.append((self._get_pack(), (codes,)))
+
+        def compile_one(job):
+            fn, a = job
+            fn.lower(*a).compile()
 
         if parallel:
             with ThreadPoolExecutor(2) as ex:
-                list(ex.map(compile_one, fns))
+                list(ex.map(compile_one, jobs))
         else:
-            for fn in fns:
-                compile_one(fn)
+            for job in jobs:
+                compile_one(job)
 
     def correct_batch(self, seqs, two_side: bool):
         out = [None] * len(seqs)
@@ -1825,6 +1960,7 @@ class Tpu3Corrector:
             handles = [self._dispatch_chunk(seqs, idxs, starts, two_side)
                        for idxs, starts in plans]
         fb_idx = sorted(impure)
+        capped_idx = []
         # one consolidated fetch per array kind: the device->host round
         # trip costs ~25 ms each on the tunnel, so 3 fetches beat
         # 3-per-chunk by ~0.7 s on the 12-chunk corpus
@@ -1839,18 +1975,38 @@ class Tpu3Corrector:
                 codes[sh::4] = (a_np >> (2 * sh)) & 3
             for b, i in enumerate(idxs):
                 if cap_np[b]:
-                    fb_idx.append(i)
+                    capped_idx.append(i)
                 else:
                     lo = starts[b]
                     out[i] = _DECODE[codes[lo : lo + n_np[b]]].tobytes()
+        # Wide-profile device retry (r5): reads capped under the default
+        # walk profile (true accepts past WALK_MAX, gap fills past the
+        # emit buffer) re-run on a wide-emit sibling chain — same
+        # cascade semantics, bigger engineering bounds — so they stay on
+        # device; only reads the WIDE profile also caps reach the host.
+        n_retried = 0
+        host_capped = len(capped_idx)
+        if (capped_idx and self.walk_max == WALK_MAX
+                and self._chain_plan == self.corrections):
+            wide = self._get_wide()
+            fixed = wide.correct_batch(
+                [seqs[i] for i in capped_idx], two_side)
+            for i, s in zip(capped_idx, fixed):
+                out[i] = s
+            n_retried = len(capped_idx)
+            host_capped = wide.last_stats["fallback"]
+        else:
+            fb_idx.extend(capped_idx)
         #: auditable host/device split for the last batch (VERDICT r3
-        #: item 4): reads the device could not finish (capped) plus reads
-        #: never sent (impure bytes) are re-corrected on the host.
+        #: item 4): reads the device could not finish (capped, after the
+        #: wide retry) plus reads never sent (impure bytes) are
+        #: re-corrected on the host.
         self.last_stats = {
             "total": len(seqs),
-            "fallback": len(fb_idx),
+            "fallback": n_impure + host_capped,
             "impure": n_impure,
-            "capped": len(fb_idx) - n_impure,
+            "capped": host_capped,
+            "wide_retried": n_retried,
         }
         if fb_idx:
             fixed = self._oracle_correct_many(
@@ -1879,10 +2035,12 @@ class Tpu3Corrector:
 
     def _dispatch_chunk(self, seqs, idxs, starts, two_side: bool):
         """Enqueue the full chain for one chunk; returns device handles
-        (packed codes, out_lens (R,), cap (R,)) without synchronizing."""
+        (packed codes, out_lens (R,), cap (R,)) without synchronizing.
+        Transfers stay 2-bit packed in both directions; the chain itself
+        runs on u8 codes (unpack/pack are device-side mini-programs)."""
         packed, rstart, rlen = self._chunk_arrays(seqs, idxs, starts)
 
-        a = jax.device_put(packed)
+        a = self._get_unpack()(jax.device_put(packed))
         rs = jax.device_put(rstart)
         n = jax.device_put(rlen)
         cap_any = jnp.zeros(self.R, dtype=bool)
@@ -1900,7 +2058,7 @@ class Tpu3Corrector:
             a = rev_fn(a, rs, n)
             a, n, cap_any = run_chain(a, n, cap_any)
             a = rev_fn(a, rs, n)
-        return a, n, cap_any
+        return self._get_pack()(a), n, cap_any
 
     # -- multi-chip path (BASELINE config 5) ---------------------------------
 
@@ -1922,6 +2080,7 @@ class Tpu3Corrector:
 
         def local_chain(table, a, rs, n):
             a, rs, n = a[0], rs[0], n[0]
+            a = dc.unpack_codes(a, self.CHUNK)
             cap_any = jnp.zeros(self.R, dtype=bool)
 
             def run(a, n, cap_any):
@@ -1935,7 +2094,7 @@ class Tpu3Corrector:
                 a = rev_fn(a, rs, n)
                 a, n, cap_any = run(a, n, cap_any)
                 a = rev_fn(a, rs, n)
-            return a[None], n[None], cap_any[None]
+            return dc.pack_codes(a)[None], n[None], cap_any[None]
 
         # check_vma off: the local chain is collective-free (reads are
         # independent), and its while_loop carries mix invariant inits

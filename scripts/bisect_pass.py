@@ -30,8 +30,14 @@ def main():
 
     tc = Tpu3Corrector(solid, ["one"], 5, 7, chunk=CHUNK, nreads=R)
     plans = tc._plan(reads, set())
-    dev = [tuple(jax.device_put(x) for x in tc._chunk_arrays(reads, i, s))
-           for i, s in plans]
+    unpack = tc._get_unpack()
+
+    def to_dev(arrs):
+        packed, rstart, rlen = arrs
+        return (unpack(jax.device_put(packed)), jax.device_put(rstart),
+                jax.device_put(rlen))
+
+    dev = [to_dev(tc._chunk_arrays(reads, i, s)) for i, s in plans]
 
     import os
     strats = os.environ.get("BISECT_STRATS", "one,greedy").split(",")

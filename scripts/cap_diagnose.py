@@ -29,7 +29,9 @@ print("warm", flush=True)
 
 impure = set()
 plans = tc._plan(reads, impure)
-dev = [tuple(jax.device_put(x) for x in tc._chunk_arrays(reads, i, s)) for i, s in plans]
+_up = tc._get_unpack()
+dev = [(_up(jax.device_put(a)), jax.device_put(rs), jax.device_put(rl))
+       for a, rs, rl in (tc._chunk_arrays(reads, i, s) for i, s in plans)]
 rev = tc._get_reverse()
 
 names = ["sites","cap_overflow","cap_attempt","cap_rounds","visited","applied","capped_reads","raw_sites"]

@@ -36,7 +36,9 @@ def main():
                            chunk=CHUNK, nreads=R)
         plans = tc._plan(reads, set())
         arrs = [tc._chunk_arrays(reads, i, s) for i, s in plans]
-        dev = [tuple(jax.device_put(x) for x in a) for a in arrs]
+        unpack = tc._get_unpack()
+        dev = [(unpack(jax.device_put(a)), jax.device_put(rs),
+                jax.device_put(rl)) for a, rs, rl in arrs]
         print(f"\nCHUNK=2^{LOG}: {len(plans)} chunks", flush=True)
 
         for strat in ("one", "greedy"):

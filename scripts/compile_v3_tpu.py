@@ -16,7 +16,7 @@ CHUNK = 1 << 21
 R = 512
 
 table = jnp.zeros((1 << (2 * K - 1)) // 32, dtype=jnp.uint32)
-packed = jnp.zeros(CHUNK // 4, dtype=jnp.uint8)
+codes = jnp.zeros(CHUNK, dtype=jnp.uint8)
 rstart = np.full(R, CHUNK, np.int32)
 rstart[0] = 0
 rlen = np.zeros(R, np.int32)
@@ -29,7 +29,7 @@ total = 0.0
 for strat in ("one", "two", "graph", "greedy", "gap-size"):
     fn = make_pass3_fn(K, strat, 5, 7, 5, CHUNK, R)
     t0 = time.perf_counter()
-    low = fn.lower(table, packed, rstart, rlen)
+    low = fn.lower(table, codes, rstart, rlen)
     t1 = time.perf_counter()
     low.compile()
     t2 = time.perf_counter()
@@ -38,7 +38,7 @@ for strat in ("one", "two", "graph", "greedy", "gap-size"):
           flush=True)
 rev = make_reverse3_fn(CHUNK, R)
 t0 = time.perf_counter()
-rev.lower(packed, rstart, rlen).compile()
+rev.lower(codes, rstart, rlen).compile()
 t1 = time.perf_counter()
 total += t1 - t0
 print(f"reverse    total {t1-t0:6.1f}s", flush=True)

@@ -31,8 +31,11 @@ def main():
         tc = Tpu3Corrector(solid, ["one", "greedy"], 5, 7,
                            chunk=CHUNK, nreads=R)
         plans = tc._plan(reads, set())
-        dev = [tuple(jax.device_put(x) for x in tc._chunk_arrays(reads, i, s))
-               for i, s in plans]
+        unpack = tc._get_unpack()
+        dev = [(unpack(jax.device_put(a)), jax.device_put(rs),
+                jax.device_put(rl))
+               for a, rs, rl in (tc._chunk_arrays(reads, i, s)
+                                 for i, s in plans)]
         print(f"\nCHUNK=2^{LOG}: {len(plans)} chunks", flush=True)
 
         for strat in ("one", "greedy"):

@@ -48,7 +48,9 @@ def main():
 
     rev = tc._get_reverse()
     strategies = tc.corrections
-    dev = [tuple(jax.device_put(x) for x in a) for a in arrs]
+    unpack = tc._get_unpack()
+    dev = [(unpack(jax.device_put(a)), jax.device_put(rs),
+            jax.device_put(rl)) for a, rs, rl in arrs]
 
     # per-strategy timing, first forward chain (chunk by chunk, synced)
     per = {s: 0.0 for s in strategies}

@@ -262,3 +262,43 @@ def test_greedy_arr_matches_perlane():
     arr = make_greedy_attempt32_arr(probe, codes, K, 7, 5)(i, km, ln)
     for a, b, name in zip(per, arr, per._fields):
         assert np.array_equal(np.asarray(a), np.asarray(b)), name
+
+
+def test_v3_long_walk_accept_via_wide_retry():
+    """VERDICT r4 item 4: a true ACCEPT past WALK_MAX (the default
+    profile's emit buffer) must stay on device.  A 400-base deletion
+    makes Graph walk the unique genome path for ~400 steps to
+    first_correct; the default profile CAPs (t_wk == t_fc guard), the
+    wide-profile retry resolves it, and the result matches the oracle
+    with zero host fallback."""
+    rng = np.random.default_rng(1234)
+    bases = np.frombuffer(b"ACTG", np.uint8)
+    gA = rng.choice(bases, size=2400).tobytes()
+    solid = SolidSet.from_sequences([gA], K)
+    reads = [gA[:500] + gA[900:1500]]       # 400-base deletion junction
+    tc = Tpu3Corrector(solid, ["graph"], 5, 7, chunk=1 << 14, nreads=8)
+    got = tc.correct_batch(reads, two_side=True)
+    methods = build_methods(["graph"], solid, 5, 7)
+    want = [correct_read(r, methods, True) for r in reads]
+    assert got == want
+    assert want[0] != reads[0], "walk should have repaired the deletion"
+    assert tc.last_stats["fallback"] == 0, tc.last_stats
+    assert tc.last_stats["wide_retried"] >= 1, tc.last_stats
+
+
+def test_v3_long_gap_fill_via_wide_retry():
+    """Gap fills longer than the default emit buffer (the second r4 cap
+    class): a ~400-base invalid region dispatches GapSize into fill
+    mode with gap > WALK_MAX; the wide retry completes it on device."""
+    rng = np.random.default_rng(4321)
+    bases = np.frombuffer(b"ACTG", np.uint8)
+    gA = rng.choice(bases, size=3000).tobytes()
+    solid = SolidSet.from_sequences([gA], K)
+    garbage = rng.choice(bases, size=400).tobytes()
+    reads = [gA[:600] + garbage + gA[600 + 400:1800]]
+    tc = Tpu3Corrector(solid, ["gap-size"], 5, 7, chunk=1 << 14, nreads=8)
+    got = tc.correct_batch(reads, two_side=True)
+    methods = build_methods(["gap-size"], solid, 5, 7)
+    want = [correct_read(r, methods, True) for r in reads]
+    assert got == want
+    assert tc.last_stats["fallback"] == 0, tc.last_stats
