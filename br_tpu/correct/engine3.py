@@ -293,6 +293,65 @@ def make_one_attempt32(probe, codes, k: int, c: int):
     return attempt
 
 
+def make_one_attempt32_arr(probe, codes, k: int, c: int):
+    """Array-form One attempt (exist/one.rs): same semantics as the
+    vmapped scalar form, but the per-step code reads collapse into ONE
+    (N, c+3) window gather and all candidate probes into ONE batched
+    probe — the queue body is op-count-floor-bound (~16 us per small
+    gather on the relay), so ~40 little gathers -> ~3 matters more than
+    element counts."""
+    CL = codes.shape[0]
+
+    def attempt(i, kmer, length):
+        rem = length - i
+        nalts, corr = _alt_info32_arr(probe, kmer)
+
+        win = codes[jnp.clip(
+            i[:, None] + jnp.arange(c + 3, dtype=I32)[None, :],
+            0, CL - 1)]                                  # (N, c+3)
+
+        # prospective registers for the three scenarios (off = D0/S1/I2):
+        # km_{off,t} = corr after absorbing win[off .. off+t]
+        cands = [corr]                                   # corr_ok row
+        for off in (0, 1, 2):
+            km = corr
+            for t in range(c + 1):
+                km = add_nuc32(km, win[:, off + t], k)
+                cands.append(km)
+        vall = probe(jnp.stack(cands))                   # (1+3*(c+1), N)
+        corr_ok = vall[0]
+
+        keep, one_more = [], []
+        row = 1
+        for off in (0, 1, 2):
+            valids = [vall[row + t] for t in range(c + 1)]
+            row += c + 1
+            score_ok = (off + c <= rem) & corr_ok
+            for t in range(c):
+                score_ok = score_ok & valids[t]
+            keep.append(score_ok)
+            one_more.append((rem > c + off + 1) & valids[c])
+
+        keep = jnp.stack(keep)                           # D(0), S(1), I(2)
+        one_more = jnp.stack(one_more)
+        nk = jnp.sum(keep.astype(I32), axis=0, dtype=I32)
+        keep2 = keep & one_more
+        nk2 = jnp.sum(keep2.astype(I32), axis=0, dtype=I32)
+
+        sel = jnp.where(nk == 1, keep, keep2)
+        ok = (nalts == 1) & ((nk == 1) | ((nk > 1) & (nk2 == 1)))
+        offset = jnp.sum(jnp.arange(3, dtype=I32)[:, None]
+                         * sel.astype(I32), axis=0, dtype=I32)
+
+        emit = ((corr & _u(3)).astype(U32))[:, None] * jnp.ones(
+            (1, 1), U32)
+        return AttemptOut3(ok, corr, offset, emit,
+                           jnp.ones_like(offset),
+                           jnp.zeros(ok.shape, bool))
+
+    return attempt
+
+
 def make_two_attempt32(probe, codes, k: int, c: int):
     """The 13 two-error scenarios (exist/two.rs) as a masked parallel
     evaluation (engine.make_two_attempt, uint32)."""
@@ -1241,7 +1300,8 @@ def make_ladder_attempt32(probe, codes, k: int, c: int, ms: int, nb: int,
 
 def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
                   CHUNK: int, R: int, _debug: bool = False,
-                  _cut: str | None = None, walk_max: int = WALK_MAX):
+                  _cut: str | None = None, walk_max: int = WALK_MAX,
+                  blk: int | None = None):
     """One jitted (table, codes (CHUNK,) u8, rstart (R,) i32,
     rlen (R,) i32) -> (out codes (CHUNK,) u8, out_lens (R,) i32,
     cap (R,) bool, aux (8,) i32).
@@ -1270,11 +1330,12 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
     NS = max(BLK, CHUNK // 32)       # site-id capacity
     NQA = NS                         # dirty re-attempt queue capacity
     NR = NS                          # compacted (visited) record capacity
-    # queue-block width.  Measured on the corpus: the block body's cost
-    # scales with LANES (padded-buffer bytes), not just op count — going
-    # to 8192 lanes cut trips but ran the whole chain 2.5x SLOWER
-    # (BENCH 29.2 -> 11.9 reads/s).  2048 is the measured sweet spot.
-    blk = min(BLK, NS)
+    # queue-block width.  Measured on the corpus (r4, old pass
+    # structure): the block body's cost scales with LANES (padded-buffer
+    # bytes), not just op count — 8192 lanes cut trips but ran the whole
+    # chain 2.5x SLOWER.  2048 is the measured sweet spot; the param
+    # exists for re-measurement against new pass structures.
+    blk = min(blk or BLK, NS)
     # queue-generation guard: full blocks plus slack for small tail
     # generations (nested repair chains); leftovers cap -> oracle.
     MAXB = (NS + NQA) // blk + 64
@@ -1342,8 +1403,23 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
             """Exact error_len (mod.rs:130-152) for any register in O(k):
             absorb at most k explicit steps (after k absorbs the register
             provably equals the rolling table k-mer), then jump to the
-            next valid position via the nv table."""
+            next valid position via the nv table.
+
+            Batched-window form (r5): the per-step code reads are ONE
+            (N, k) gather and the per-step probes ONE batched probe —
+            prospective registers assume continuous absorption, which
+            matches the scalar walk up to each lane's stop step, and
+            values past the stop are masked out."""
             rem = length - i
+            win = codes[jnp.clip(
+                i[:, None] + jnp.arange(1, k + 1, dtype=I32)[None, :],
+                0, CHUNK - 1)]                           # (N, k)
+            regs = []
+            kmr = kmer
+            for j2 in range(1, k + 1):
+                kmr = add_nuc32(kmr, win[:, j2 - 1], k)
+                regs.append(kmr)
+            fall = probe(jnp.stack(regs))                # (k, N)
             km = kmer
             j = jnp.zeros_like(i)
             done = jnp.zeros(i.shape, bool)
@@ -1351,14 +1427,9 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
                 at_end = jnp.int32(j2) >= rem
                 step = ~done
                 adv = step & ~at_end
-                km2 = jnp.where(
-                    adv,
-                    add_nuc32(km,
-                              _code_at(codes, jnp.clip(i + j2, 0,
-                                                       CHUNK - 1)), k), km)
-                f = adv & probe(km2)
+                f = adv & fall[j2 - 1]
                 j = jnp.where(step, jnp.int32(j2), j)
-                km = km2
+                km = jnp.where(adv, regs[j2 - 1], km)
                 done = done | (step & (at_end | f))
             q = nv[jnp.clip(i + k + 1, 0, CHUNK - 1)]
             okq = (i + k + 1 < CHUNK) & (q < length)
@@ -1371,10 +1442,10 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
             return j, km
 
         if strategy == "one":
-            att_v = jax.vmap(make_one_attempt32(probe, codes, k, c))
+            att_a = make_one_attempt32_arr(probe, codes, k, c)
 
             def attempt_block(i, reg, lenf, enabled):
-                return att_v(i, reg, lenf)
+                return att_a(i, reg, lenf)
         elif strategy == "two":
             att_v = jax.vmap(make_two_attempt32(probe, codes, k, c))
 
@@ -1399,22 +1470,35 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
             """Absorb until k steps since the last applied repair
             (engine2.dirty_sim without resync boundaries).  Returns
             (state, i, reg, t): DONE_PURE / DONE_END / PENDING; for
-            PENDING (i, reg, t) is the nested attempt site."""
+            PENDING (i, reg, t) is the nested attempt site.
+
+            Batched-window form (r5, see err_fn): one (N, k) code
+            gather + one batched probe; a lane's absorption path is
+            continuous from i0 until its stop step, so prospective
+            registers select exactly."""
+            win = codes[jnp.clip(
+                i0[:, None] + jnp.arange(k, dtype=I32)[None, :],
+                0, CHUNK - 1)]                           # (N, k)
+            regs = []
+            kmr = reg0
+            for m in range(k):
+                kmr = add_nuc32(kmr, win[:, m], k)
+                regs.append(kmr)
+            vall = probe(jnp.stack(regs))                # (k, N)
             i, reg, prev, t = i0, reg0, prev0, t0
             state = jnp.full(jnp.shape(i0), -1, dtype=I32)  # -1 = running
-            for _ in range(k):
+            for m in range(k):
                 running = state < 0
                 step_on = running & (t < k)
                 state = jnp.where(running & ~step_on, DONE_PURE, state)
                 end_read = i >= lenf
                 state = jnp.where(step_on & end_read, DONE_END, state)
                 act = step_on & ~end_read
-                reg_n = add_nuc32(reg, _code_at(codes, i), k)
-                v = probe(reg_n)
+                v = vall[m]
                 nested = act & ~v & prev
                 state = jnp.where(nested, PENDING, state)
                 adv = act & ~nested
-                reg = jnp.where(act, reg_n, reg)
+                reg = jnp.where(act, regs[m], reg)
                 prev = jnp.where(adv, v, prev)
                 i = jnp.where(adv, i + 1, i)
                 t = jnp.where(adv, t + 1, t)
@@ -1947,6 +2031,11 @@ class Tpu3Corrector:
                 compile_one(job)
 
     def correct_batch(self, seqs, two_side: bool):
+        import os
+        import time as _time
+
+        timeline = os.environ.get("BR_TPU_TIMELINE")
+        t0 = _time.perf_counter()
         out = [None] * len(seqs)
         impure = {
             i for i, s in enumerate(seqs)
@@ -1954,11 +2043,13 @@ class Tpu3Corrector:
         }
         n_impure = len(impure)
         plans = self._plan(seqs, impure)
+        t1 = _time.perf_counter()
         if self.mesh is not None:
             handles = self._dispatch_sharded(seqs, plans, two_side)
         else:
             handles = [self._dispatch_chunk(seqs, idxs, starts, two_side)
                        for idxs, starts in plans]
+        t2 = _time.perf_counter()
         fb_idx = sorted(impure)
         capped_idx = []
         # one consolidated fetch per array kind: the device->host round
@@ -1968,6 +2059,7 @@ class Tpu3Corrector:
             a_all = np.asarray(jnp.stack([h[0] for h in handles]))
             n_all = np.asarray(jnp.stack([h[1] for h in handles]))
             cap_all = np.asarray(jnp.stack([h[2] for h in handles]))
+        t3 = _time.perf_counter()
         for ci, (idxs, starts) in enumerate(plans):
             a_np, n_np, cap_np = a_all[ci], n_all[ci], cap_all[ci]
             codes = np.empty(a_np.shape[0] * 4, np.uint8)
@@ -2013,6 +2105,12 @@ class Tpu3Corrector:
                 [seqs[i] for i in fb_idx], two_side)
             for i, s in zip(fb_idx, fixed):
                 out[i] = s
+        if timeline:
+            t4 = _time.perf_counter()
+            print(f"[timeline] plan {1e3*(t1-t0):.0f}  dispatch "
+                  f"{1e3*(t2-t1):.0f}  fetch {1e3*(t3-t2):.0f}  "
+                  f"decode+retry+oracle {1e3*(t4-t3):.0f} ms",
+                  flush=True)
         return out
 
     def _chunk_arrays(self, seqs, idxs, starts):

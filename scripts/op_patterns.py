@@ -138,20 +138,13 @@ def main():
             return cur[0]
         return f
 
-    def make_cummax_i64(S):
-        @jax.jit
-        def f(x):
-            cur = x.astype(jnp.int64) << 22
-            for _ in range(S):
-                cur = jax.lax.cummax(cur) % 99991
-            return cur[-1]
-        return f
-
+    # NOTE: an i64-cummax case was measured once and REMOVED: it
+    # SIGSEGVs the remote XLA compiler (tpu_compile_helper).  Avoid i64
+    # scans entirely on this stack.
     for name, mk in (("cumsum i32", make_cumsum),
                      ("cummax i32", make_cummax),
                      ("cummin rev=True", make_rcummin_rev),
-                     ("flip+cummin+flip", make_rcummin_flip),
-                     ("cummax i64", make_cummax_i64)):
+                     ("flip+cummin+flip", make_rcummin_flip)):
         t = diff(mk, [(d,) for d in dense_i32])
         print(f"C. {name:18s} CHUNK:            {t*1e3:7.2f} ms", flush=True)
 
@@ -212,6 +205,33 @@ def main():
 
     t = diff(make_e, list(zip(words, kmerss)))
     print(f"E. probe(kmers) CHUNK (canonical+bit):{t*1e3:7.2f} ms", flush=True)
+
+    # --- E2: large-k hash probe (sorted-u64 binary search; VERDICT r4
+    # item 5 — the measured cost of the k=19-31 device path's probe) ---
+    for HN in (1 << 16, 1 << 20):
+        htables = [jax.device_put(np.sort(rng.choice(
+            1 << 41, HN, replace=False).astype(np.uint64)))
+            for _ in range(N)]
+        hkmers = [jax.device_put(rng.integers(0, 1 << 42, CHUNK,
+                                              np.uint64))
+                  for _ in range(N)]
+
+        def make_e2(S, tbl0=None):
+            @jax.jit
+            def f(tbl, km):
+                probe = dc.make_hash_probe_any(tbl, 21)
+                cur = km
+                acc = jnp.int32(0)
+                for _ in range(S):
+                    v = probe(cur)
+                    cur = cur + v.astype(jnp.uint64)
+                    acc += v[0].astype(I32)
+                return acc
+            return f
+
+        t = diff(make_e2, list(zip(htables, hkmers)), lo=1, hi=4)
+        print(f"E2 hash probe CHUNK from {HN>>10}k-entry sorted u64:"
+              f" {t*1e3:8.2f} ms", flush=True)
 
     # --- F: scatters ------------------------------------------------------
     upd = [jax.device_put(rng.integers(0, CHUNK, NS, np.int32))
