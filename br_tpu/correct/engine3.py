@@ -1301,7 +1301,7 @@ def make_ladder_attempt32(probe, codes, k: int, c: int, ms: int, nb: int,
 def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
                   CHUNK: int, R: int, _debug: bool = False,
                   _cut: str | None = None, walk_max: int = WALK_MAX,
-                  blk: int | None = None):
+                  blk: int | None = None, batch: bool = False):
     """One jitted (table, codes (CHUNK,) u8, rstart (R,) i32,
     rlen (R,) i32) -> (out codes (CHUNK,) u8, out_lens (R,) i32,
     cap (R,) bool, aux (8,) i32).
@@ -1507,9 +1507,33 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
             return state, i, reg, t
 
         # ---------------- 2. site-block queue ---------------------------
+        # Kernel-merged layout (r5): queue-body ops at blk lanes are
+        # materialization-bound (~8-16 ns/lane per DISTINCT op through
+        # HBM), so the per-block scatters/gathers are packed:
+        #   recb (NS*SLOTS, 3+EW) u32  — [rp | rc | rs | re...] in ONE
+        #       .set scatter (indices are unique: one queue item per
+        #       site per generation, slot increments per applied record)
+        #   sstat (NS, 3) i32          — [succ_pos, s_pos, -s_cap] in
+        #       ONE .min scatter (max(code) == -min(-code); masked
+        #       lanes write the min-identity BIG/0 instead of dropping)
+        #   appq (NQA+blk, AW) u32     — pending-continuation rows
+        #       [sid, i, t, slot, reg-words], ONE row gather per block
+        #       and ONE dynamic_update_slice per append
+        RW = 1 if k <= 15 else 2     # reg words in an appq row
+        AW = 4 + RW
+
+        def _reg_to_words(reg):
+            if k <= 15:
+                return reg[:, None]
+            return jax.lax.bitcast_convert_type(reg, U32)
+
+        def _words_to_reg(wordz):
+            if k <= 15:
+                return wordz[:, 0]
+            return jax.lax.bitcast_convert_type(wordz, jnp.uint64)
+
         def queue_body(st):
-            (head, iterc, napp, succ_pos, s_cap, s_pos, rp, rc, rs, re,
-             app_sid, app_i, app_reg, app_t, app_slot) = st
+            head, iterc, napp, sstat, recb, appq = st
             total = n_eff + napp
 
             q = head + jnp.arange(blk, dtype=I32)
@@ -1518,17 +1542,16 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
             posA = jnp.clip(_lower_bound(cumT, q + 1), 0, CHUNK - 1)
             ai = jnp.clip(q - n_eff, 0, NQA - 1)
 
-            sid = jnp.where(from_site, q, app_sid[ai])
-            i_cur = jnp.where(from_site, posA, app_i[ai])
-            reg = jnp.where(from_site, kmers[posA], app_reg[ai])
-            t = jnp.where(from_site, k, app_t[ai])
-            slot = jnp.where(from_site, 0, app_slot[ai])
+            arow = appq[ai]                              # (blk, AW)
+            sid = jnp.where(from_site, q, arow[:, 0].astype(I32))
+            i_cur = jnp.where(from_site, posA, arow[:, 1].astype(I32))
+            reg = jnp.where(from_site, kmers[posA],
+                            _words_to_reg(arow[:, 4 : 4 + RW]))
+            t = jnp.where(from_site, k, arow[:, 2].astype(I32))
+            slot = jnp.where(from_site, 0, arow[:, 3].astype(I32))
             i_cur = jnp.clip(i_cur, 0, CHUNK - 1)
             lenf = endf_of[i_cur]
             sidc = jnp.clip(sid, 0, NS - 1)
-
-            s_pos = s_pos.at[jnp.where(from_site, sidc, NS)].min(
-                posA, mode="drop")
 
             # gate: exactly-one-alternative (shared by every strategy)
             nalts, _corr = _alt_info32_arr(probe, reg)
@@ -1538,14 +1561,16 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
             applied = gate & res.ok & ~res.cap
             att_cap = gate & res.cap
 
-            # records
+            # records: one packed .set (indices unique, see above)
             widx = jnp.where(applied & (slot < SLOTS),
                              sidc * SLOTS + jnp.clip(slot, 0, SLOTS - 1),
                              NS * SLOTS)
-            rp = rp.at[widx].min(i_cur, mode="drop")
-            rc = rc.at[widx].max(res.cnt.astype(I32), mode="drop")
-            rs = rs.at[widx].max(res.consumed.astype(I32), mode="drop")
-            re = re.at[widx].max(res.emit, mode="drop")
+            rrow = jnp.concatenate(
+                [i_cur.astype(U32)[:, None],
+                 res.cnt.astype(U32)[:, None],
+                 res.consumed.astype(U32)[:, None],
+                 res.emit.astype(U32)], axis=1)          # (blk, 3+EW)
+            recb = recb.at[widx].set(rrow, mode="drop")
             slot_over = applied & (slot >= SLOTS)
 
             # merged post-state simulation (applied and failed lanes)
@@ -1557,63 +1582,63 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
                 sim_i, sim_reg, applied, sim_t, lenf)
             bad = att_cap | slot_over
 
-            # successor (resolved chains)
+            # successor (resolved chains) + first-visit position + cap
+            # reason, one packed min-scatter
             done_pure = act & ~bad & (state == DONE_PURE)
             sp = nt[jnp.clip(i_n, 0, CHUNK - 1)]
             sp_ok = done_pure & (i_n < CHUNK) & (sp < lenf)
-            succ_pos = succ_pos.at[sidc].min(
-                jnp.where(sp_ok, sp, BIG))
-
-            # cap reasons
             cap_code = jnp.maximum(jnp.where(att_cap, CAP_ATTEMPT, 0),
                                    jnp.where(slot_over, CAP_OVERFLOW, 0))
-            s_cap = s_cap.at[sidc].max(jnp.where(act, cap_code, 0))
+            srow = jnp.stack(
+                [jnp.where(sp_ok, sp, BIG),
+                 jnp.where(from_site, posA, BIG),
+                 -jnp.where(act, cap_code, 0)], axis=1)  # (blk, 3)
+            sstat = sstat.at[sidc].min(srow)
 
             # pending continuations -> append to the queue
             pend = act & ~bad & (state == PENDING)
             slot_n = slot + applied.astype(I32)
-            (cf, okm, _over) = _compact(
-                pend, (sid, i_n, reg_n, t_n, slot_n), blk)
-            (p_sid, p_i, p_reg, p_t, p_slot) = cf
+            p_all = jnp.concatenate(
+                [sid.astype(U32)[:, None], i_n.astype(U32)[:, None],
+                 t_n.astype(U32)[:, None], slot_n.astype(U32)[:, None],
+                 _reg_to_words(reg_n)], axis=1)          # (blk, AW)
+            (p_mat,), okm, _over = _compact(pend, (p_all,), blk)
             npend = jnp.sum(pend.astype(I32), dtype=I32)
             over_q = okm & (napp + jnp.arange(blk, dtype=I32) >= NQA)
-            s_cap = s_cap.at[jnp.clip(p_sid, 0, NS - 1)].max(
-                jnp.where(over_q, CAP_OVERFLOW, 0))
-            wat = (jnp.minimum(napp, NQA),)
-            app_sid = jax.lax.dynamic_update_slice(app_sid, p_sid, wat)
-            app_i = jax.lax.dynamic_update_slice(app_i, p_i, wat)
-            app_reg = jax.lax.dynamic_update_slice(app_reg, p_reg, wat)
-            app_t = jax.lax.dynamic_update_slice(app_t, p_t, wat)
-            app_slot = jax.lax.dynamic_update_slice(app_slot, p_slot, wat)
+            p_sid = p_mat[:, 0].astype(I32)
+            sstat = sstat.at[jnp.clip(p_sid, 0, NS - 1), 2].min(
+                jnp.where(over_q, -CAP_OVERFLOW, 0))
+            wat = (jnp.minimum(napp, NQA), jnp.int32(0))
+            appq = jax.lax.dynamic_update_slice(appq, p_mat, wat)
             napp = jnp.minimum(napp + npend, NQA)
 
             # the block covered queue positions [head, min(head+blk,
             # total)); same-iteration appends land at >= total and are
             # picked up by the next iteration.
             return (jnp.minimum(head + blk, total), iterc + 1, napp,
-                    succ_pos, s_cap, s_pos, rp, rc, rs, re,
-                    app_sid, app_i, app_reg, app_t, app_slot)
+                    sstat, recb, appq)
 
         def queue_cond(st):
             head, iterc, napp = st[0], st[1], st[2]
             return (head < n_eff + napp) & (iterc < MAXB)
 
+        recb0 = jnp.zeros((NS * SLOTS, 3 + EW), U32).at[:, 0].set(
+            jnp.uint32(BIG))
+        sstat0 = jnp.stack([jnp.full(NS, BIG, I32),
+                            jnp.full(NS, BIG, I32),
+                            jnp.zeros(NS, I32)], axis=1)
         st0 = (jnp.int32(0), jnp.int32(0), jnp.int32(0),
-               jnp.full(NS, BIG, I32),                   # succ_pos
-               jnp.zeros(NS, I32),                       # s_cap
-               jnp.full(NS, BIG, I32),                   # s_pos
-               jnp.full(NS * SLOTS, BIG, I32),           # rp
-               jnp.zeros(NS * SLOTS, I32),               # rc
-               jnp.zeros(NS * SLOTS, I32),               # rs
-               jnp.zeros((NS * SLOTS, EW), U32),         # re
-               jnp.zeros(NQA + blk, I32),                # app_sid
-               jnp.zeros(NQA + blk, I32),                # app_i
-               jnp.zeros(NQA + blk, reg_dtype(k)),       # app_reg
-               jnp.zeros(NQA + blk, I32),                # app_t
-               jnp.zeros(NQA + blk, I32))                # app_slot
+               sstat0, recb0, jnp.zeros((NQA + blk, AW), U32))
         st = jax.lax.while_loop(queue_cond, queue_body, st0)
-        (head, _iterc, napp, succ_pos, s_cap, s_pos, rp, rc, rs, re,
-         app_sid, _ai, _ar, _at, _as) = st
+        (head, _iterc, napp, sstat, recb, appq) = st
+        succ_pos = sstat[:, 0]
+        s_pos = sstat[:, 1]
+        s_cap = -sstat[:, 2]
+        rp = recb[:, 0].astype(I32)
+        rc = recb[:, 1].astype(I32)
+        rs = recb[:, 2].astype(I32)
+        re = recb[:, 3:]
+        app_sid = appq[:, 0].astype(I32)
 
         # queue exhausted with work left -> cap those sites
         sids = jnp.arange(NS, dtype=I32)
@@ -1776,16 +1801,26 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
             return out, out_len, cap_read, aux, dbg
         return out, out_len, cap_read, aux
 
+    if batch:
+        # chunk-batched pass (r5): vmap the whole pass over a leading
+        # axis of independent chunks so the lane-scale queue/chain/record
+        # ops —
+        # which are op-count-floor-bound (~16 us per small op on the
+        # relay), not element-bound — amortize their floor across
+        # chunks.  Element-bound work (probe, splice gather, scans)
+        # scales linearly, so this trades nothing away.  The while_loop
+        # bodies are mask-idempotent for finished chunks, which is what
+        # vmapped while_loops require.
+        return jax.jit(jax.vmap(passfn, in_axes=(None, 0, 0, 0)))
     return jax.jit(passfn)
 
 
-def make_reverse3_fn(CHUNK: int, R: int):
+def make_reverse3_fn(CHUNK: int, R: int, batch: bool = False):
     """Jitted in-slot reversal of the length-n prefix of every read (the
     two-side reverse pass works on plain-reversed bytes,
     src/lib.rs:110-117).  u8 codes in/out; one gather."""
     assert R * 2 * CHUNK < (1 << 31)
 
-    @jax.jit
     def rev(codes, rstart, rlen):
         pos = jnp.arange(CHUNK, dtype=I32)
         # delta-scatter + cumsum fills (cummax is pathological on this
@@ -1806,7 +1841,9 @@ def make_reverse3_fn(CHUNK: int, R: int):
                         start_of + len_of - 1 - opin, pos)
         return codes[jnp.clip(src, 0, CHUNK - 1)]
 
-    return rev
+    if batch:
+        return jax.jit(jax.vmap(rev))
+    return jax.jit(rev)
 
 
 def make_unpack3_fn(CHUNK: int):
@@ -1860,6 +1897,14 @@ class Tpu3Corrector:
     CHUNK = 1 << 20
     #: read slots per chunk
     R = 512
+    #: max chunks batched through one vmapped chain program.  MEASURED
+    #: AND REJECTED at 4 (BENCH 79.5 -> 59.6 reads/s): lane-scale queue
+    #: ops are byte-bound beyond ~2048 lanes (same finding as the
+    #: blk-width sweep), so vmap's wider ops at max-trips cost MORE than
+    #: separate per-chunk programs.  Kept at 1 (per-chunk dispatch); the
+    #: vmapped path remains for future stacks where small-op floors
+    #: dominate.
+    NC_MAX = 1
 
     def __init__(self, valid_kmer, corrections, confirm: int,
                  max_search: int, chunk: int | None = None,
@@ -1948,14 +1993,14 @@ class Tpu3Corrector:
 
     # -- compiled program lookup --------------------------------------------
 
-    def _get_pass(self, strategy: str):
+    def _get_pass(self, strategy: str, batch: bool = False):
         key = ("v3", strategy, self.k, self.c, self.ms, self.CHUNK,
-               self.R, self.walk_max)
+               self.R, self.walk_max, batch)
         fn = _FN_CACHE.get(key)
         if fn is None:
             fn = make_pass3_fn(self.k, strategy, self.c, self.ms, self.c,
                                self.CHUNK, self.R,
-                               walk_max=self.walk_max)
+                               walk_max=self.walk_max, batch=batch)
             _FN_CACHE[key] = fn
         return fn
 
@@ -1971,11 +2016,11 @@ class Tpu3Corrector:
                 walk_max=WIDE_WALK_MAX)
         return self._wide
 
-    def _get_reverse(self):
-        key = ("v3rev", self.CHUNK, self.R)
+    def _get_reverse(self, batch: bool = False):
+        key = ("v3rev", self.CHUNK, self.R, batch)
         fn = _FN_CACHE.get(key)
         if fn is None:
-            fn = make_reverse3_fn(self.CHUNK, self.R)
+            fn = make_reverse3_fn(self.CHUNK, self.R, batch=batch)
             _FN_CACHE[key] = fn
         return fn
 
@@ -1997,25 +2042,29 @@ class Tpu3Corrector:
 
     # -- the public batch interface ------------------------------------------
 
-    def warmup(self, two_side: bool, parallel: bool = True):
+    def warmup(self, two_side: bool, parallel: bool = True, nc: int = 1):
         """Compile every program the chain needs (optionally with both
-        host cores); call before timing or to overlap with host work."""
+        host cores); call before timing or to overlap with host work.
+        ``nc`` must match the chunk-group width of the coming batch
+        (min(n_chunks, NC_MAX)) for the compile to be reused."""
         from concurrent.futures import ThreadPoolExecutor
 
         CHUNK, R = self.CHUNK, self.R
-        codes = jax.device_put(np.zeros(CHUNK, np.uint8))
-        rstart = np.full(R, CHUNK, np.int32)
-        rstart[0] = 0
-        rlen = np.zeros(R, np.int32)
-        rlen[0] = 256
+        batch = nc > 1
+        shp = (nc,) if batch else ()
+        codes = jax.device_put(np.zeros(shp + (CHUNK,), np.uint8))
+        rstart = np.full(shp + (R,), CHUNK, np.int32)
+        rstart[..., 0] = 0
+        rlen = np.zeros(shp + (R,), np.int32)
+        rlen[..., 0] = 256
         args = (codes, jax.device_put(rstart), jax.device_put(rlen))
-        packed = jax.device_put(np.zeros(CHUNK // 4, np.uint8))
+        packed = jax.device_put(np.zeros(shp + (CHUNK // 4,), np.uint8))
 
         # (fn, lowering args) with explicit signatures
-        jobs = [(self._get_pass(st), (self.table, *args))
+        jobs = [(self._get_pass(st, batch=batch), (self.table, *args))
                 for st in self._chain_plan]
         if not two_side:
-            jobs.append((self._get_reverse(), args))
+            jobs.append((self._get_reverse(batch=batch), args))
         jobs.append((self._get_unpack(), (packed,)))
         jobs.append((self._get_pack(), (codes,)))
 
@@ -2046,6 +2095,13 @@ class Tpu3Corrector:
         t1 = _time.perf_counter()
         if self.mesh is not None:
             handles = self._dispatch_sharded(seqs, plans, two_side)
+        elif self.NC_MAX > 1 and len(plans) > 1:
+            # chunk-batched dispatch (opt-in via NC_MAX, see note there)
+            NC = min(len(plans), self.NC_MAX)
+            handles = []
+            for lo in range(0, len(plans), NC):
+                handles.extend(self._dispatch_group(
+                    seqs, plans[lo : lo + NC], two_side, NC))
         else:
             handles = [self._dispatch_chunk(seqs, idxs, starts, two_side)
                        for idxs, starts in plans]
@@ -2130,6 +2186,39 @@ class Tpu3Corrector:
         packed = (b4[:, 0] | (b4[:, 1] << 2) | (b4[:, 2] << 4)
                   | (b4[:, 3] << 6))
         return packed, rstart, rlen
+
+    def _dispatch_group(self, seqs, group, two_side: bool, NC: int):
+        """Enqueue the full chain for NC chunks through the vmapped
+        chain; returns per-chunk handles (packed, out_lens, cap).  Short
+        groups are padded with empty chunks (rstart = CHUNK sentinel
+        everywhere -> zero sites, zero-length outputs)."""
+        arrs = [self._chunk_arrays(seqs, idxs, starts)
+                for idxs, starts in group]
+        while len(arrs) < NC:
+            arrs.append((np.zeros(self.CHUNK // 4, np.uint8),
+                         np.full(self.R, self.CHUNK, np.int32),
+                         np.zeros(self.R, np.int32)))
+        a = self._get_unpack()(
+            jax.device_put(np.stack([x[0] for x in arrs])))
+        rs = jax.device_put(np.stack([x[1] for x in arrs]))
+        n = jax.device_put(np.stack([x[2] for x in arrs]))
+        cap_any = jnp.zeros((NC, self.R), dtype=bool)
+        rev_fn = self._get_reverse(batch=True)
+
+        def run_chain(a, n, cap_any):
+            for strat in self._chain_plan:
+                fn = self._get_pass(strat, batch=True)
+                a, n, cap, _aux = fn(self.table, a, rs, n)
+                cap_any = cap_any | cap
+            return a, n, cap_any
+
+        a, n, cap_any = run_chain(a, n, cap_any)
+        if not two_side:
+            a = rev_fn(a, rs, n)
+            a, n, cap_any = run_chain(a, n, cap_any)
+            a = rev_fn(a, rs, n)
+        pko = self._get_pack()(a)
+        return [(pko[d], n[d], cap_any[d]) for d in range(len(group))]
 
     def _dispatch_chunk(self, seqs, idxs, starts, two_side: bool):
         """Enqueue the full chain for one chunk; returns device handles
