@@ -90,6 +90,8 @@ RING = 32
 T1_STEPS = 30
 #: tier-2 walk history width (start + up to WALK_MAX visited k-mers).
 NH2 = 256
+#: tier-2 walk lane capacity per block.
+NW2 = 256
 
 
 class WalkProfile(NamedTuple):
@@ -101,12 +103,16 @@ class WalkProfile(NamedTuple):
     walk_max: int   # steps before a walk CAPs (tier-2 bound)
     ew: int         # emit words per walk record (walk_max+1 bases)
     nh2: int        # tier-2 history width (>= walk_max+1 for exactness)
+    nw2: int        # tier-2 lane width (history compare costs
+    #                 O(nw2*nh2) PER STEP — the wide profile narrows
+    #                 lanes to keep long walks affordable)
 
 
 def walk_profile(walk_max: int) -> WalkProfile:
     return WalkProfile(walk_max,
                        (walk_max + 1 + BPW - 1) // BPW,
-                       walk_max + 8)
+                       walk_max + 8,
+                       NW2 if walk_max <= WALK_MAX else 32)
 
 
 DEFAULT_WP = walk_profile(WALK_MAX)
@@ -114,8 +120,6 @@ DEFAULT_WP = walk_profile(WALK_MAX)
 #: accepts and long gap fills; reads that out-emit even this cap to the
 #: host oracle).
 WIDE_WALK_MAX = 2040
-#: tier-2 walk lane capacity per block.
-NW2 = 256
 #: chain records per site (applied repairs in one dirty chain).
 SLOTS = 8
 #: site-block width for the adaptive queue loop.
@@ -1122,8 +1126,9 @@ def _tiered_walk32(probe, k: int, corr, alt_code, first_correct, use_fc,
         wk, n, buf, status, pend = st
         (c_wk, c_n, c_buf, c_hist, c_fc, c_ufc, c_ms, c_src), c_ok, _o, _ = \
             _compact(pend, (wk, n, buf, hist, first_correct, use_fc,
-                            max_steps, lanes), NW2, with_src=True)
-        hist2 = jnp.full((NW2, wp.nh2), _sent(k)).at[:, :RING].set(c_hist)
+                            max_steps, lanes), wp.nw2, with_src=True)
+        hist2 = jnp.full((wp.nw2, wp.nh2), _sent(k)).at[:, :RING].set(
+            c_hist)
         st2 = (c_wk, c_n, c_buf,
                jnp.where(c_ok, RUN, DECLINE).astype(I32), hist2)
         wk2, n2a, buf2, status2, _h = _walk_phase32(
@@ -1133,7 +1138,7 @@ def _tiered_walk32(probe, k: int, corr, alt_code, first_correct, use_fc,
         n = n.at[idx].set(n2a, mode="drop")
         buf = buf.at[idx].set(buf2, mode="drop")
         status = status.at[idx].set(status2, mode="drop")
-        pend = pend & (jnp.cumsum(pend.astype(I32), dtype=I32) > NW2)
+        pend = pend & (jnp.cumsum(pend.astype(I32), dtype=I32) > wp.nw2)
         return (wk, n, buf, status, pend)
 
     pend = _walk_active(wk, n, status, use_fc, max_steps, wp.walk_max)
@@ -1301,7 +1306,8 @@ def make_ladder_attempt32(probe, codes, k: int, c: int, ms: int, nb: int,
 def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
                   CHUNK: int, R: int, _debug: bool = False,
                   _cut: str | None = None, walk_max: int = WALK_MAX,
-                  blk: int | None = None, batch: bool = False):
+                  blk: int | None = None, batch: bool = False,
+                  carry: bool = False):
     """One jitted (table, codes (CHUNK,) u8, rstart (R,) i32,
     rlen (R,) i32) -> (out codes (CHUNK,) u8, out_lens (R,) i32,
     cap (R,) bool, aux (8,) i32).
@@ -1320,7 +1326,24 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
     the CHUNK-from-small-table gathers they replace (8.3 ms -> 0.6 ms
     at 2^20, scripts/op_patterns.py).  Output codes beyond out_len are
     stale garbage by design: every consumer (the next pass's masks, the
-    reverse program, the host decode) slices by length first."""
+    reverse program, the host decode) slices by length first.
+
+    Cross-pass incremental validity (VERDICT r4 item 1): the codes
+    array is really codesV u8 — bit 0-1 the base, bit 2 the raw
+    bitfield-probe result of the k-mer ending at that position.  The
+    splice gather moves the V bit POSITIONALLY with the code (a window
+    fully inside one segment maps exactly onto its source window), and
+    the pass emits a dirty-position list covering every window that
+    spans a segment boundary or emitted content ([pos_v, pos_v+k-1) and
+    [pos_e, pos_e+crc+k-1) per record).  A ``carry=True`` pass then
+    skips the dense probe: it re-probes ONLY the listed positions
+    (spurious entries are harmless — they scatter the true probe value;
+    a list overflow is signalled by dcnt = -1 and falls back to the
+    dense probe in-graph).  The carried bit is valid wherever the masks
+    allow its use (pin >= k-1 implies the source window carried a real
+    probe result, by induction from the dense-probing chain head).
+    Signature with carry: (table, codesV, rstart, rlen, dlist, dcnt);
+    every pass RETURNS (codesV, out_lens, cap, aux, dlist, dcnt)."""
     _check_k(k)
     assert CHUNK % 4 == 0 and R >= 1
     # geometry fills pack (rid, value) into one monotone i32 key
@@ -1341,10 +1364,13 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
     MAXB = (NS + NQA) // blk + 64
     LV = NS.bit_length()             # pointer-doubling levels
 
-    def passfn(table, codes, rstart, rlen):
+    ND = CHUNK // 4                  # dirty-list capacity (carry path)
+
+    def passfn(table, codesV, rstart, rlen, dlist=None, dcnt=None):
         probe = dc.make_solid_probe_any(table, k)
 
         # ---------------- 1. dense precompute --------------------------
+        codes = codesV & U8(3)
         if k <= 15:
             kmers = dc.rolling_kmers32(codes, k)         # (CHUNK,) u32
         else:
@@ -1373,7 +1399,24 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
         pin = pos - start_of
         endf_of = start_of + len_of                      # flat read end
 
-        V = probe(kmers) & (pin >= k - 1) & (pin < len_of)
+        if carry:
+            # incremental validity: the splice of the previous pass
+            # carried the raw probe bit in codesV bit 2; re-probe only
+            # the listed dirty windows (dcnt < 0 = list overflowed ->
+            # dense re-probe)
+            Vc = ((codesV >> U8(2)) & U8(1)) == U8(1)
+
+            def _sparse(_):
+                fix = probe(kmers[jnp.clip(dlist, 0, CHUNK - 1)])
+                return Vc.at[dlist].set(fix, mode="drop")
+
+            def _dense(_):
+                return probe(kmers)
+
+            Vraw = jax.lax.cond(dcnt < 0, _dense, _sparse, None)
+        else:
+            Vraw = probe(kmers)
+        V = Vraw & (pin >= k - 1) & (pin < len_of)
         Vprev = jnp.pad(V[:-1], (1, 0))
         T = Vprev & ~V & (pin >= k) & (pin < len_of)
 
@@ -1776,7 +1819,38 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
         etable = ((cre[:, :, None]
                    >> (_u(2) * jnp.arange(BPW, dtype=U32)[None, None, :]))
                   & _u(3)).astype(U8).reshape(NR * W)
-        out = jnp.concatenate([codes, etable])[gidx]
+        # the combined gather carries the validity bit positionally
+        # (emit-table entries have bit 2 = 0; their spans are dirty)
+        cv = codes | (Vraw.astype(U8) << U8(2))
+        out = jnp.concatenate([cv, etable])[gidx]
+
+        # ---- dirty-window list for the NEXT pass's sparse re-probe ----
+        # two windows per applied record: the verbatim-start boundary
+        # [pos_v, pos_v+k-1) and the emitted span + its trailing
+        # boundary [pos_e, pos_e+crc+k-1) (which also covers the next
+        # verbatim segment's start window, since it begins at
+        # pos_e+crc).  Capped reads may list garbage positions — the
+        # fix-up only ever scatters TRUE probe values, so spurious
+        # entries are harmless anywhere.
+        wv = jnp.where(rok, k - 1, 0)
+        we = jnp.where(rok, jnp.clip(crc, 0, W) + (k - 1), 0)
+        wall = jnp.stack([wv, we], 1).reshape(2 * NR)
+        dbase = jnp.stack([jnp.clip(pos_v, 0, CHUNK - 1),
+                           jnp.clip(pos_e, 0, CHUNK - 1)], 1).reshape(
+            2 * NR)
+        cumw = jnp.cumsum(wall, dtype=I32)
+        cumw_ex = jnp.concatenate([jnp.zeros(1, I32), cumw[:-1]])
+        ndirty = cumw[-1]
+        lanes_d = jnp.arange(ND, dtype=I32)
+        marks = jnp.zeros(ND, I32).at[
+            jnp.where(wall > 0, jnp.minimum(cumw_ex, ND), ND)].add(
+            1, mode="drop")
+        rec_of = jnp.clip(jnp.cumsum(marks, dtype=I32) - 1, 0, 2 * NR - 1)
+        doff = lanes_d - cumw_ex[rec_of]
+        dpos = dbase[rec_of] + doff
+        dlist_out = jnp.where(lanes_d < jnp.minimum(ndirty, ND),
+                              jnp.clip(dpos, 0, CHUNK - 1), CHUNK)
+        dcnt_out = jnp.where(ndirty > ND, -1, ndirty)
 
         def _cnt(m):
             return jnp.sum(m.astype(I32), dtype=I32)
@@ -1797,9 +1871,16 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
                        rp=rp, rc=rc, rs=rs, crp=crp, crc=crc, crs=crs,
                        rok=rok, head_idx=head_idx, succ_idx=succ_idx,
                        ostart_v=ostart_v, vlen=vlen, body_len=body_len,
-                       shift=S, gidx=gidx, out_code=out)
+                       shift=S, gidx=gidx, out_code=out,
+                       dlist=dlist_out, dcnt=dcnt_out)
             return out, out_len, cap_read, aux, dbg
-        return out, out_len, cap_read, aux
+        return out, out_len, cap_read, aux, dlist_out, dcnt_out
+
+    if not carry:
+        full = passfn
+
+        def passfn(table, codesV, rstart, rlen):  # noqa: F811
+            return full(table, codesV, rstart, rlen)
 
     if batch:
         # chunk-batched pass (r5): vmap the whole pass over a leading
@@ -1811,7 +1892,8 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
         # scales linearly, so this trades nothing away.  The while_loop
         # bodies are mask-idempotent for finished chunks, which is what
         # vmapped while_loops require.
-        return jax.jit(jax.vmap(passfn, in_axes=(None, 0, 0, 0)))
+        axes = (None, 0, 0, 0) + ((0, 0) if carry else ())
+        return jax.jit(jax.vmap(passfn, in_axes=axes))
     return jax.jit(passfn)
 
 
@@ -1857,12 +1939,13 @@ def make_unpack3_fn(CHUNK: int):
 
 
 def make_pack3_fn(CHUNK: int):
-    """codes (CHUNK,) u8 -> packed (CHUNK//4,) u8 (chain exit; keeps the
-    device->host transfer at 2 bits/base)."""
+    """codesV (CHUNK,) u8 -> packed (CHUNK//4,) u8 (chain exit; keeps
+    the device->host transfer at 2 bits/base; strips the carried
+    validity bit)."""
 
     @jax.jit
     def pk(codes):
-        return dc.pack_codes(codes)
+        return dc.pack_codes(codes & jnp.uint8(3))
 
     return pk
 
@@ -1993,14 +2076,16 @@ class Tpu3Corrector:
 
     # -- compiled program lookup --------------------------------------------
 
-    def _get_pass(self, strategy: str, batch: bool = False):
+    def _get_pass(self, strategy: str, batch: bool = False,
+                  carry: bool = False):
         key = ("v3", strategy, self.k, self.c, self.ms, self.CHUNK,
-               self.R, self.walk_max, batch)
+               self.R, self.walk_max, batch, carry)
         fn = _FN_CACHE.get(key)
         if fn is None:
             fn = make_pass3_fn(self.k, strategy, self.c, self.ms, self.c,
                                self.CHUNK, self.R,
-                               walk_max=self.walk_max, batch=batch)
+                               walk_max=self.walk_max, batch=batch,
+                               carry=carry)
             _FN_CACHE[key] = fn
         return fn
 
@@ -2059,10 +2144,15 @@ class Tpu3Corrector:
         rlen[..., 0] = 256
         args = (codes, jax.device_put(rstart), jax.device_put(rlen))
         packed = jax.device_put(np.zeros(shp + (CHUNK // 4,), np.uint8))
+        dlist = jax.device_put(np.full(shp + (CHUNK // 4,), CHUNK,
+                                       np.int32))
+        dcnt = jax.device_put(np.zeros(shp, np.int32)) if batch \
+            else jax.device_put(np.int32(0))
 
         # (fn, lowering args) with explicit signatures
-        jobs = [(self._get_pass(st, batch=batch), (self.table, *args))
-                for st in self._chain_plan]
+        jobs = [(self._get_pass(st, batch=batch, carry=(j > 0)),
+                 (self.table, *args) + ((dlist, dcnt) if j > 0 else ()))
+                for j, st in enumerate(self._chain_plan)]
         if not two_side:
             jobs.append((self._get_reverse(batch=batch), args))
         jobs.append((self._get_unpack(), (packed,)))
@@ -2206,9 +2296,15 @@ class Tpu3Corrector:
         rev_fn = self._get_reverse(batch=True)
 
         def run_chain(a, n, cap_any):
-            for strat in self._chain_plan:
-                fn = self._get_pass(strat, batch=True)
-                a, n, cap, _aux = fn(self.table, a, rs, n)
+            dl = dc_ = None
+            for j, strat in enumerate(self._chain_plan):
+                if j == 0:
+                    fn = self._get_pass(strat, batch=True)
+                    a, n, cap, _aux, dl, dc_ = fn(self.table, a, rs, n)
+                else:
+                    fn = self._get_pass(strat, batch=True, carry=True)
+                    a, n, cap, _aux, dl, dc_ = fn(self.table, a, rs, n,
+                                                  dl, dc_)
                 cap_any = cap_any | cap
             return a, n, cap_any
 
@@ -2234,9 +2330,17 @@ class Tpu3Corrector:
         rev_fn = self._get_reverse()
 
         def run_chain(a, n, cap_any):
-            for strat in self._chain_plan:
-                fn = self._get_pass(strat)
-                a, n, cap, _aux = fn(self.table, a, rs, n)
+            # pass 1 of each direction dense-probes; later passes carry
+            # validity through the splice and re-probe dirty windows only
+            dl = dc_ = None
+            for j, strat in enumerate(self._chain_plan):
+                if j == 0:
+                    fn = self._get_pass(strat)
+                    a, n, cap, _aux, dl, dc_ = fn(self.table, a, rs, n)
+                else:
+                    fn = self._get_pass(strat, carry=True)
+                    a, n, cap, _aux, dl, dc_ = fn(self.table, a, rs, n,
+                                                  dl, dc_)
                 cap_any = cap_any | cap
             return a, n, cap_any
 
@@ -2262,7 +2366,8 @@ class Tpu3Corrector:
             return fn
 
         mesh = self.mesh
-        passfns = [self._get_pass(st) for st in self._chain_plan]
+        passfns = [self._get_pass(st, carry=(j > 0))
+                   for j, st in enumerate(self._chain_plan)]
         rev_fn = self._get_reverse()
 
         def local_chain(table, a, rs, n):
@@ -2271,8 +2376,13 @@ class Tpu3Corrector:
             cap_any = jnp.zeros(self.R, dtype=bool)
 
             def run(a, n, cap_any):
-                for pfn in passfns:
-                    a, n, cap, _aux = pfn(table, a, rs, n)
+                dl = dc2 = None
+                for j, pfn in enumerate(passfns):
+                    if j == 0:
+                        a, n, cap, _aux, dl, dc2 = pfn(table, a, rs, n)
+                    else:
+                        a, n, cap, _aux, dl, dc2 = pfn(table, a, rs, n,
+                                                       dl, dc2)
                     cap_any = cap_any | cap
                 return a, n, cap_any
 
@@ -2281,7 +2391,8 @@ class Tpu3Corrector:
                 a = rev_fn(a, rs, n)
                 a, n, cap_any = run(a, n, cap_any)
                 a = rev_fn(a, rs, n)
-            return dc.pack_codes(a)[None], n[None], cap_any[None]
+            return dc.pack_codes(a & jnp.uint8(3))[None], n[None], \
+                cap_any[None]
 
         # check_vma off: the local chain is collective-free (reads are
         # independent), and its while_loop carries mix invariant inits

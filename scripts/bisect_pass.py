@@ -47,12 +47,12 @@ def main():
             t0 = time.perf_counter()
             fn.lower(tc.table, *dev[0]).compile()
             tcmp = time.perf_counter() - t0
-            a, n, cap, aux = fn(tc.table, *dev[0])
-            np.asarray(n)
+            out = fn(tc.table, *dev[0])
+            np.asarray(out[1])
             t0 = time.perf_counter()
             for d in dev:
-                a, n, cap, aux = fn(tc.table, *d)
-                np.asarray(n)
+                out = fn(tc.table, *d)
+                np.asarray(out[1])
             dt = (time.perf_counter() - t0) / len(dev)
             print(f"{strat:8s} cut={str(cut):6s} compile {tcmp:5.1f}s "
                   f"run {dt*1000:7.1f} ms/chunk", flush=True)

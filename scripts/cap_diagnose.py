@@ -43,7 +43,7 @@ for direction in ("fwd","rev"):
         capped = np.zeros(0)
         for s in tc.corrections:
             fn = tc._get_pass(s)
-            cur_a, cur_n, cap, aux = fn(tc.table, cur_a, rs, cur_n)
+            cur_a, cur_n, cap, aux = fn(tc.table, cur_a, rs, cur_n)[:4]
             aux = np.asarray(aux)
             tot.setdefault(s, np.zeros(8, np.int64))
             tot[s] += aux

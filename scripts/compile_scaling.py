@@ -52,11 +52,11 @@ def main():
                   flush=True)
             # runtime: synced per chunk over all real chunks
             outs = fn(tc.table, *dev[0])
-            outs[0].block_until_ready()
+            np.asarray(outs[1])
             t0 = time.perf_counter()
             for d in dev:
-                a, n, cap, aux = fn(tc.table, *d)
-                a.block_until_ready()
+                outs = fn(tc.table, *d)
+                np.asarray(outs[1])
             dt = time.perf_counter() - t0
             print(f"  {strat:8s} run {dt*1000:7.1f} ms total "
                   f"({dt/len(dev)*1000:.1f} ms/chunk, "

@@ -45,14 +45,14 @@ def main():
             print(f"  {strat:8s} compile {time.perf_counter()-t0:6.1f}s",
                   flush=True)
             # warm + flush queue
-            a, n, cap, aux = fn(tc.table, *dev[0])
-            np.asarray(n)
+            out = fn(tc.table, *dev[0])
+            np.asarray(out[1])
 
             # timed: dispatch each chunk, readback out_lens (1 KB) to sync
             t0 = time.perf_counter()
             for d in dev:
-                a, n, cap, aux = fn(tc.table, *d)
-                np.asarray(n)
+                out = fn(tc.table, *d)
+                np.asarray(out[1])
             dt = time.perf_counter() - t0
             print(f"  {strat:8s} run {dt*1000:7.1f} ms total "
                   f"({dt/len(dev)*1000:6.1f} ms/chunk, "

@@ -62,7 +62,7 @@ def main():
         for s in strategies:
             fn = tc._get_pass(s)
             t0 = time.perf_counter()
-            cur_a, cur_n, cap, aux = fn(tc.table, cur_a, rs, cur_n)
+            cur_a, cur_n, cap, aux = fn(tc.table, cur_a, rs, cur_n)[:4]
             np.asarray(cap)  # the only reliable barrier on this backend
             per[s] += time.perf_counter() - t0
             aux_tot[s] += np.asarray(aux).astype(np.int64)
@@ -85,7 +85,7 @@ def main():
     for cur_a, rs, cur_n in state:
         for s in strategies:
             fn = tc._get_pass(s)
-            cur_a, cur_n, cap, aux = fn(tc.table, cur_a, rs, cur_n)
+            cur_a, cur_n, cap, aux = fn(tc.table, cur_a, rs, cur_n)[:4]
         cur_a = rev(cur_a, rs, cur_n)
         outs.append((cur_a, cur_n, cap))
     for a, n, c in outs:
