@@ -105,22 +105,81 @@ def _threshold_pack(counts, psize: int, abundance):
     return jnp.sum(w << shifts, axis=1, dtype=U32)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _solid_words_by_sort(packed, vwords, k: int, T: int, abundance):
+    """Sort + run-length counting straight into the bitfield.
+
+    The r4 partitioned dense histogram swept 2^(2k+1) count bytes per
+    build (16 x 2 GiB zero/threshold passes at k=17 -> ~4 min on chip);
+    the corpus only holds ~T distinct k-mers, so sorting the T canonical
+    k-mers (sentinel-masking invalid positions), run-length encoding,
+    and scattering one bit per solid k-mer touches O(T) + one bitfield
+    sweep instead.  Distinct k-mers map to distinct (word, bit), so
+    scatter-ADD of single bits equals scatter-OR.  Threshold semantics:
+    strictly-greater on exact counts (== the host's saturating-u8
+    semantics for abundance < 255)."""
+    codes = dc.unpack_codes(packed, T)
+    if k <= 15:
+        kmers = dc.rolling_kmers32(codes, k)
+        cano = dc.canonical_any(kmers, k).astype(jnp.uint64)
+    else:
+        kmers = dc.rolling_kmers(codes, k)
+        cano = dc.canonical_any(kmers, k)
+    pos = jnp.arange(T, dtype=I32)
+    vbit = (vwords[pos // 32] >> (pos % 32).astype(U32)) & U32(1)
+    SENT = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    cano = jnp.where(vbit == 1, cano, SENT)
+    s = jnp.sort(cano)
+    # run starts: first element or different from predecessor
+    prev = jnp.concatenate([jnp.full(1, ~s[0], s.dtype), s[:-1]])
+    is_start = (s != prev) & (s != SENT)
+    ridx = jnp.cumsum(is_start.astype(I32), dtype=I32)  # 1-based run id
+    n_runs = ridx[-1]
+    # run lengths via first-position scatter of start offsets
+    starts = jnp.zeros(T + 1, I32).at[
+        jnp.where(is_start, ridx - 1, T + 1)].set(pos, mode="drop")
+    starts = starts.at[jnp.minimum(n_runs, T)].set(
+        jnp.sum((s != SENT).astype(I32), dtype=I32))
+    runlen = jnp.concatenate([starts[1:], starts[-1:]]) - starts
+    # solid runs: count > abundance
+    solid = (jnp.arange(T + 1, dtype=I32) < n_runs) & \
+        (runlen > abundance.astype(I32))
+    run_kmer = s[jnp.clip(starts, 0, T - 1)]
+    idx = (run_kmer >> jnp.uint64(1))
+    widx = (idx >> jnp.uint64(5)).astype(jnp.int32)
+    bit = (idx & jnp.uint64(31)).astype(U32)
+    half = 1 << (2 * k - 1)
+    words = jnp.zeros(half // 32, U32).at[
+        jnp.where(solid, widx, half // 32)].add(
+        U32(1) << bit, mode="drop")
+    return words
+
+
 def build_solid_words_on_device(seqs, k: int, abundance: int,
                                 max_count_bytes: int = 2 << 30):
     """Count + threshold on device; returns the bitfield as a DEVICE u32
-    word array compatible with ``SolidSet.device_words()`` layout."""
+    word array compatible with ``SolidSet.device_words()`` layout.
+
+    Default path: sort + run-length counting (O(corpus) work + one
+    bitfield init).  Set ``max_count_bytes`` < 0 to force the legacy
+    partitioned dense-histogram path (kept for differential testing)."""
+    packed, vwords, T = _pack_reads(seqs, k)
+    d_packed = jax.device_put(packed)
+    d_vwords = jax.device_put(vwords)
+
+    if max_count_bytes >= 0 and T > 0:
+        return _solid_words_by_sort(d_packed, d_vwords, k, T,
+                                    jnp.int32(abundance))
+
     half = 1 << (2 * k - 1)
-    nparts = max(1, (half * 4 + max_count_bytes - 1) // max_count_bytes)
+    mcb = abs(max_count_bytes) or (2 << 30)
+    nparts = max(1, (half * 4 + mcb - 1) // mcb)
     # half is a power of two, so psize * nparts == half only holds when
     # nparts is too; round up (ceil-division alone gives e.g. nparts=11
     # for 3 GiB at k=17, which does not divide 2^33)
     nparts = 1 << (nparts - 1).bit_length()
     psize = half // nparts
     assert psize % 32 == 0 and psize * nparts == half
-
-    packed, vwords, T = _pack_reads(seqs, k)
-    d_packed = jax.device_put(packed)
-    d_vwords = jax.device_put(vwords)
 
     parts = []
     for p in range(nparts):

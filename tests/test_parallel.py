@@ -133,9 +133,10 @@ def test_device_solid_build_matches_host():
         c = Counter(k)
         c.count_sequences(reads)
         assert np.array_equal(got.bits, c.to_solid(a).bits)
-    # partitioned sweep (the big-k memory shape) on a small space
+    # legacy partitioned sweep (the big-k memory shape; negative
+    # max_count_bytes forces it past the default sort path)
     words = build_solid_words_on_device(reads, 13, 1,
-                                        max_count_bytes=1 << 22)
+                                        max_count_bytes=-(1 << 22))
     got = device_words_to_solid(words, 13)
     c = Counter(13)
     c.count_sequences(reads)
@@ -200,7 +201,7 @@ def test_device_solid_build_non_pow2_partition_budget():
     reads = [rng.choice(np.frombuffer(b"ACTG", np.uint8),
                         size=200).tobytes() for _ in range(8)]
     words = build_solid_words_on_device(reads, 13, 0,
-                                        max_count_bytes=3 << 20)
+                                        max_count_bytes=-(3 << 20))
     got = device_words_to_solid(words, 13)
     c = Counter(13)
     c.count_sequences(reads)
