@@ -302,3 +302,33 @@ def test_v3_long_gap_fill_via_wide_retry():
     want = [correct_read(r, methods, True) for r in reads]
     assert got == want
     assert tc.last_stats["fallback"] == 0, tc.last_stats
+
+
+def test_v3_reference_catalog():
+    """The reference's full planted-error catalog (one.rs/two.rs/
+    graph.rs/greedy.rs/gap_size.rs unit tests, tests/catalog.py) through
+    the v3 engine — including the zero-emit DCI record whose segment
+    boundaries collide in the delta-fill splice.  fallback must stay 0
+    so the DEVICE (not the host oracle) produced every answer."""
+    from catalog import (CASES, NO_REFE_CHECK, build_case_set,
+                         build_oracle_corrector, filt)
+
+    by_cfg = {}
+    for case in CASES:
+        (name, method, kwargs, k, refe, read, extra, expect) = case
+        by_cfg.setdefault((method, k, tuple(sorted(kwargs.items()))),
+                          []).append(case)
+    for (_m, _k, _kw), group in by_cfg.items():
+        for (name, method, kwargs, k, refe, read, extra, expect) in group:
+            refe_f, read_f = filt(refe), filt(read)
+            s = build_case_set(k, refe_f, extra)
+            oracle = build_oracle_corrector(method, kwargs, s)
+            inputs = [read_f] + ([] if name in NO_REFE_CHECK else [refe_f])
+            want = [oracle.correct(x) for x in inputs]
+            c = kwargs.get("c", kwargs.get("nb_validate", 2))
+            ms = kwargs.get("max_search", 7)
+            tc = Tpu3Corrector(s, [method], confirm=c, max_search=ms,
+                               chunk=1 << 12, nreads=8)
+            got = tc.correct_batch(inputs, two_side=True)
+            assert got == want, f"{name}: v3 diverges from oracle"
+            assert tc.last_stats["fallback"] == 0, (name, tc.last_stats)
