@@ -177,6 +177,8 @@ def main():
         result["fallback_capped"] = stats["capped"]
         result["fallback_impure"] = stats["impure"]
         result["fallback_frac"] = round(stats["fallback"] / stats["total"], 4)
+        if "wide_retried" in stats:
+            result["wide_retried"] = stats["wide_retried"]
     print(json.dumps(result))
     return 0
 

@@ -1307,7 +1307,7 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
                   CHUNK: int, R: int, _debug: bool = False,
                   _cut: str | None = None, walk_max: int = WALK_MAX,
                   blk: int | None = None, batch: bool = False,
-                  carry: bool = False):
+                  carry: bool = False, emit_dirty: bool = False):
     """One jitted (table, codes (CHUNK,) u8, rstart (R,) i32,
     rlen (R,) i32) -> (out codes (CHUNK,) u8, out_lens (R,) i32,
     cap (R,) bool, aux (8,) i32).
@@ -1333,17 +1333,25 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
     bitfield-probe result of the k-mer ending at that position.  The
     splice gather moves the V bit POSITIONALLY with the code (a window
     fully inside one segment maps exactly onto its source window), and
-    the pass emits a dirty-position list covering every window that
-    spans a segment boundary or emitted content ([pos_v, pos_v+k-1) and
-    [pos_e, pos_e+crc+k-1) per record).  A ``carry=True`` pass then
-    skips the dense probe: it re-probes ONLY the listed positions
-    (spurious entries are harmless — they scatter the true probe value;
-    a list overflow is signalled by dcnt = -1 and falls back to the
-    dense probe in-graph).  The carried bit is valid wherever the masks
-    allow its use (pin >= k-1 implies the source window carried a real
-    probe result, by induction from the dense-probing chain head).
+    an ``emit_dirty=True`` pass emits a dirty-position list covering
+    every window that spans a segment boundary or emitted content
+    ([pos_v, pos_v+k-1) and [pos_e, pos_e+crc+k-1) per record).  A
+    ``carry=True`` pass then skips the dense probe: it re-probes ONLY
+    the listed positions (spurious entries are harmless — they scatter
+    the true probe value; a list overflow is signalled by dcnt = -1 and
+    falls back to the dense probe in-graph).  The carried bit is valid
+    wherever the masks allow its use (pin >= k-1 implies the source
+    window carried a real probe result, by induction from the
+    dense-probing chain head).
+
+    MEASURED AND OFF BY DEFAULT: the list machinery costs ~ND x
+    ~10 ns/lane every producing pass (lane-scale op wall, PERF_NOTES),
+    which rivals the ~9 ms dense probe it saves — e2e the carry chain
+    measured ~-12% (67.9 vs 77.4 reads/s at k=13).  The capability is
+    kept (correctness-tested) for stacks where gathers dominate.
     Signature with carry: (table, codesV, rstart, rlen, dlist, dcnt);
-    every pass RETURNS (codesV, out_lens, cap, aux, dlist, dcnt)."""
+    a pass RETURNS (codesV, out_lens, cap, aux, dlist, dcnt) — dlist
+    is a (1,) dummy with dcnt = -1 unless emit_dirty."""
     _check_k(k)
     assert CHUNK % 4 == 0 and R >= 1
     # geometry fills pack (rid, value) into one monotone i32 key
@@ -1364,7 +1372,13 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
     MAXB = (NS + NQA) // blk + 64
     LV = NS.bit_length()             # pointer-doubling levels
 
-    ND = CHUNK // 4                  # dirty-list capacity (carry path)
+    # dirty-list capacity (carry path).  Lane-scale ops cost ~10 ns/lane
+    # each (PERF_NOTES), so the list machinery itself costs ~ND-
+    # proportional time EVERY pass: at CHUNK//4 it measured ~-12% e2e
+    # (more than the probe it saves).  CHUNK//16 fits the later passes'
+    # real dirty counts; the repair-heavy first handoff overflows to the
+    # in-graph dense fallback, which is exactly the pre-carry cost.
+    ND = CHUNK // 16
 
     def passfn(table, codesV, rstart, rlen, dlist=None, dcnt=None):
         probe = dc.make_solid_probe_any(table, k)
@@ -1825,32 +1839,38 @@ def make_pass3_fn(k: int, strategy: str, c: int, ms: int, nb: int,
         out = jnp.concatenate([cv, etable])[gidx]
 
         # ---- dirty-window list for the NEXT pass's sparse re-probe ----
-        # two windows per applied record: the verbatim-start boundary
+        # (emit_dirty only; see the docstring's measured-and-off note.)
+        # Two windows per applied record: the verbatim-start boundary
         # [pos_v, pos_v+k-1) and the emitted span + its trailing
         # boundary [pos_e, pos_e+crc+k-1) (which also covers the next
         # verbatim segment's start window, since it begins at
         # pos_e+crc).  Capped reads may list garbage positions — the
         # fix-up only ever scatters TRUE probe values, so spurious
         # entries are harmless anywhere.
-        wv = jnp.where(rok, k - 1, 0)
-        we = jnp.where(rok, jnp.clip(crc, 0, W) + (k - 1), 0)
-        wall = jnp.stack([wv, we], 1).reshape(2 * NR)
-        dbase = jnp.stack([jnp.clip(pos_v, 0, CHUNK - 1),
-                           jnp.clip(pos_e, 0, CHUNK - 1)], 1).reshape(
-            2 * NR)
-        cumw = jnp.cumsum(wall, dtype=I32)
-        cumw_ex = jnp.concatenate([jnp.zeros(1, I32), cumw[:-1]])
-        ndirty = cumw[-1]
-        lanes_d = jnp.arange(ND, dtype=I32)
-        marks = jnp.zeros(ND, I32).at[
-            jnp.where(wall > 0, jnp.minimum(cumw_ex, ND), ND)].add(
-            1, mode="drop")
-        rec_of = jnp.clip(jnp.cumsum(marks, dtype=I32) - 1, 0, 2 * NR - 1)
-        doff = lanes_d - cumw_ex[rec_of]
-        dpos = dbase[rec_of] + doff
-        dlist_out = jnp.where(lanes_d < jnp.minimum(ndirty, ND),
-                              jnp.clip(dpos, 0, CHUNK - 1), CHUNK)
-        dcnt_out = jnp.where(ndirty > ND, -1, ndirty)
+        if not emit_dirty:
+            dlist_out = jnp.zeros(1, I32)
+            dcnt_out = jnp.int32(-1)
+        else:
+            wv = jnp.where(rok, k - 1, 0)
+            we = jnp.where(rok, jnp.clip(crc, 0, W) + (k - 1), 0)
+            wall = jnp.stack([wv, we], 1).reshape(2 * NR)
+            dbase = jnp.stack([jnp.clip(pos_v, 0, CHUNK - 1),
+                               jnp.clip(pos_e, 0, CHUNK - 1)], 1).reshape(
+                2 * NR)
+            cumw = jnp.cumsum(wall, dtype=I32)
+            cumw_ex = jnp.concatenate([jnp.zeros(1, I32), cumw[:-1]])
+            ndirty = cumw[-1]
+            lanes_d = jnp.arange(ND, dtype=I32)
+            marks = jnp.zeros(ND, I32).at[
+                jnp.where(wall > 0, jnp.minimum(cumw_ex, ND), ND)].add(
+                1, mode="drop")
+            rec_of = jnp.clip(jnp.cumsum(marks, dtype=I32) - 1, 0,
+                              2 * NR - 1)
+            doff = lanes_d - cumw_ex[rec_of]
+            dpos = dbase[rec_of] + doff
+            dlist_out = jnp.where(lanes_d < jnp.minimum(ndirty, ND),
+                                  jnp.clip(dpos, 0, CHUNK - 1), CHUNK)
+            dcnt_out = jnp.where(ndirty > ND, -1, ndirty)
 
         def _cnt(m):
             return jnp.sum(m.astype(I32), dtype=I32)
@@ -2077,15 +2097,15 @@ class Tpu3Corrector:
     # -- compiled program lookup --------------------------------------------
 
     def _get_pass(self, strategy: str, batch: bool = False,
-                  carry: bool = False):
+                  carry: bool = False, emit_dirty: bool = False):
         key = ("v3", strategy, self.k, self.c, self.ms, self.CHUNK,
-               self.R, self.walk_max, batch, carry)
+               self.R, self.walk_max, batch, carry, emit_dirty)
         fn = _FN_CACHE.get(key)
         if fn is None:
             fn = make_pass3_fn(self.k, strategy, self.c, self.ms, self.c,
                                self.CHUNK, self.R,
                                walk_max=self.walk_max, batch=batch,
-                               carry=carry)
+                               carry=carry, emit_dirty=emit_dirty)
             _FN_CACHE[key] = fn
         return fn
 
@@ -2144,15 +2164,10 @@ class Tpu3Corrector:
         rlen[..., 0] = 256
         args = (codes, jax.device_put(rstart), jax.device_put(rlen))
         packed = jax.device_put(np.zeros(shp + (CHUNK // 4,), np.uint8))
-        dlist = jax.device_put(np.full(shp + (CHUNK // 4,), CHUNK,
-                                       np.int32))
-        dcnt = jax.device_put(np.zeros(shp, np.int32)) if batch \
-            else jax.device_put(np.int32(0))
 
         # (fn, lowering args) with explicit signatures
-        jobs = [(self._get_pass(st, batch=batch, carry=(j > 0)),
-                 (self.table, *args) + ((dlist, dcnt) if j > 0 else ()))
-                for j, st in enumerate(self._chain_plan)]
+        jobs = [(self._get_pass(st, batch=batch), (self.table, *args))
+                for st in self._chain_plan]
         if not two_side:
             jobs.append((self._get_reverse(batch=batch), args))
         jobs.append((self._get_unpack(), (packed,)))
@@ -2296,15 +2311,9 @@ class Tpu3Corrector:
         rev_fn = self._get_reverse(batch=True)
 
         def run_chain(a, n, cap_any):
-            dl = dc_ = None
-            for j, strat in enumerate(self._chain_plan):
-                if j == 0:
-                    fn = self._get_pass(strat, batch=True)
-                    a, n, cap, _aux, dl, dc_ = fn(self.table, a, rs, n)
-                else:
-                    fn = self._get_pass(strat, batch=True, carry=True)
-                    a, n, cap, _aux, dl, dc_ = fn(self.table, a, rs, n,
-                                                  dl, dc_)
+            for strat in self._chain_plan:
+                fn = self._get_pass(strat, batch=True)
+                a, n, cap, _aux, _dl, _dc = fn(self.table, a, rs, n)
                 cap_any = cap_any | cap
             return a, n, cap_any
 
@@ -2330,17 +2339,11 @@ class Tpu3Corrector:
         rev_fn = self._get_reverse()
 
         def run_chain(a, n, cap_any):
-            # pass 1 of each direction dense-probes; later passes carry
-            # validity through the splice and re-probe dirty windows only
-            dl = dc_ = None
-            for j, strat in enumerate(self._chain_plan):
-                if j == 0:
-                    fn = self._get_pass(strat)
-                    a, n, cap, _aux, dl, dc_ = fn(self.table, a, rs, n)
-                else:
-                    fn = self._get_pass(strat, carry=True)
-                    a, n, cap, _aux, dl, dc_ = fn(self.table, a, rs, n,
-                                                  dl, dc_)
+            # every pass dense-probes (carry=True measured SLOWER on
+            # this stack — see make_pass3_fn's incremental-validity note)
+            for strat in self._chain_plan:
+                fn = self._get_pass(strat)
+                a, n, cap, _aux, _dl, _dc = fn(self.table, a, rs, n)
                 cap_any = cap_any | cap
             return a, n, cap_any
 
@@ -2366,8 +2369,7 @@ class Tpu3Corrector:
             return fn
 
         mesh = self.mesh
-        passfns = [self._get_pass(st, carry=(j > 0))
-                   for j, st in enumerate(self._chain_plan)]
+        passfns = [self._get_pass(st) for st in self._chain_plan]
         rev_fn = self._get_reverse()
 
         def local_chain(table, a, rs, n):
@@ -2376,13 +2378,8 @@ class Tpu3Corrector:
             cap_any = jnp.zeros(self.R, dtype=bool)
 
             def run(a, n, cap_any):
-                dl = dc2 = None
-                for j, pfn in enumerate(passfns):
-                    if j == 0:
-                        a, n, cap, _aux, dl, dc2 = pfn(table, a, rs, n)
-                    else:
-                        a, n, cap, _aux, dl, dc2 = pfn(table, a, rs, n,
-                                                       dl, dc2)
+                for pfn in passfns:
+                    a, n, cap, _aux, _dl, _dc = pfn(table, a, rs, n)
                     cap_any = cap_any | cap
                 return a, n, cap_any
 

@@ -20,6 +20,15 @@ Model (a simplified Badread):
 Everything derives from one numpy PCG64 seed: the corpus is fully
 reproducible byte-for-byte.
 
+Pick k to match the corpus size: error k-mers are ~uniform over the
+2^(2k-1) canonical space, so once corpus_bases * error_rate * k
+approaches that space, error k-mers collide past the abundance
+threshold and the de Bruijn graph degenerates into a near-complete
+random graph (measured: the default 240 Mb corpus makes 24% of the
+k=13 space solid from a quarter of the reads — walks explode for ANY
+implementation, ours or the reference's; k=15 stays at ~1.4%).  Use
+k >= 15 at 100 Mb+.
+
 Usage:
     python scripts/make_corpus.py -o /tmp/corpus20k.fasta \
         [--reads 20000] [--genome-size 10000000] [--seed 42]

@@ -332,3 +332,68 @@ def test_v3_reference_catalog():
             got = tc.correct_batch(inputs, two_side=True)
             assert got == want, f"{name}: v3 diverges from oracle"
             assert tc.last_stats["fallback"] == 0, (name, tc.last_stats)
+
+
+def test_v3_validity_carry_chain_matches_plain():
+    """Incremental-validity capability (OFF by default — measured slower
+    on the current stack, see make_pass3_fn): an emit_dirty producer
+    followed by a carry consumer must equal the plain dense-probing
+    chain bit for bit, including the in-graph dense fallback on list
+    overflow."""
+    import jax
+
+    from br_tpu.correct.engine3 import make_pass3_fn
+
+    rng = np.random.default_rng(77)
+    bases = np.frombuffer(b"ACTG", np.uint8)
+    genome = rng.choice(bases, 3000).tobytes()
+    solid = SolidSet.from_sequences([genome], K)
+    CHUNK, R = 1 << 13, 16
+    codes = np.zeros(CHUNK, np.uint8)
+    rstart = np.full(R, CHUNK, np.int32)
+    rlen = np.zeros(R, np.int32)
+    off = 0
+    for b in range(6):
+        lo = int(rng.integers(0, 2300))
+        read = bytearray(genome[lo : lo + 600])
+        for _ in range(4):
+            p = int(rng.integers(K + 2, len(read) - K - 2))
+            op = int(rng.integers(3))
+            if op == 0:
+                read[p] = int(rng.choice(bases))
+            elif op == 1:
+                del read[p]
+            else:
+                read.insert(p, int(rng.choice(bases)))
+        arr = np.frombuffer(bytes(read), np.uint8)
+        codes[off : off + len(arr)] = (arr >> 1) & 3
+        rstart[b] = off
+        rlen[b] = len(arr)
+        off += 768
+    table = jax.device_put(solid.device_words())
+
+    def chain(carry_mode):
+        a = jax.numpy.asarray(codes)
+        n = jax.numpy.asarray(rlen)
+        rs = jax.numpy.asarray(rstart)
+        if carry_mode:
+            f1 = make_pass3_fn(K, "one", 5, 7, 5, CHUNK, R,
+                               emit_dirty=True)
+            f2 = make_pass3_fn(K, "two", 5, 7, 5, CHUNK, R, carry=True)
+            a, n, cap1, _x, dl, dcn = f1(table, a, rs, n)
+            a, n, cap2, _x, _dl, _dc = f2(table, a, rs, n, dl, dcn)
+        else:
+            f1 = make_pass3_fn(K, "one", 5, 7, 5, CHUNK, R)
+            f2 = make_pass3_fn(K, "two", 5, 7, 5, CHUNK, R)
+            a, n, cap1, _x, _dl, _dc = f1(table, a, rs, n)
+            a, n, cap2, _x, _dl2, _dc2 = f2(table, a, rs, n)
+        return (np.asarray(a) & 3, np.asarray(n),
+                np.asarray(cap1 | cap2))
+
+    a1, n1, c1 = chain(False)
+    a2, n2, c2 = chain(True)
+    assert np.array_equal(n1, n2) and np.array_equal(c1, c2)
+    # compare only within out_len (beyond is stale garbage by design)
+    for b in range(6):
+        lo, ln = rstart[b], n1[b]
+        assert np.array_equal(a1[lo : lo + ln], a2[lo : lo + ln]), b
